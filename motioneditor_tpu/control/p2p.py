@@ -1,0 +1,149 @@
+"""Prompt-to-prompt attention controllers as pure probability editors.
+
+Port of motion_editor/p2p/p2p_stable.py + the time-word alpha schedule from
+ptp_utils.py:302-333. The reference registers these by monkey-patching
+(ptp_utils.py:160-278, invoked from prepare_control at inference.py:74-99 —
+present but not on the default path); here a controller is a static spec the
+denoiser applies to cross-attention probabilities:
+
+  probs_edit = controller(probs_base, probs_edit, step)
+
+Branch convention: probs arrays are [2, ...] pairs (source row, edit row) of
+the cross-attention softmax over 77 text tokens.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from motioneditor_tpu.control.seq_aligner import (
+    get_refinement_mapper,
+    get_replacement_mapper,
+    get_word_inds,
+)
+
+
+def get_time_words_attention_alpha(
+    prompts: Sequence[str],
+    num_steps: int,
+    cross_replace_steps: Union[float, Dict[str, Tuple[float, float]]],
+    tokenizer,
+    max_num_words: int = 77,
+) -> np.ndarray:
+    """Per-(step, word) replacement gate (ptp_utils.py:302-333)."""
+
+    def update_alpha(alpha, bounds, prompt_ind, word_inds=None):
+        if isinstance(bounds, float):
+            bounds = (0.0, bounds)
+        start, end = int(bounds[0] * num_steps), int(bounds[1] * num_steps)
+        if word_inds is None:
+            word_inds = np.arange(alpha.shape[2])
+        alpha[:start, prompt_ind, word_inds] = 0
+        alpha[start:end, prompt_ind, word_inds] = 1
+        alpha[end:, prompt_ind, word_inds] = 0
+        return alpha
+
+    if not isinstance(cross_replace_steps, dict):
+        cross_replace_steps = {"default_": cross_replace_steps}
+    if "default_" not in cross_replace_steps:
+        cross_replace_steps["default_"] = (0.0, 1.0)
+    alpha_time_words = np.zeros((num_steps + 1, len(prompts) - 1, max_num_words))
+    for i in range(len(prompts) - 1):
+        alpha_time_words = update_alpha(
+            alpha_time_words, cross_replace_steps["default_"], i
+        )
+    for key, item in cross_replace_steps.items():
+        if key != "default_":
+            inds = [get_word_inds(prompts[i], key, tokenizer) for i in range(1, len(prompts))]
+            for i, ind in enumerate(inds):
+                if len(ind) > 0:
+                    alpha_time_words = update_alpha(alpha_time_words, item, i, ind)
+    return alpha_time_words.reshape(
+        num_steps + 1, len(prompts) - 1, 1, 1, max_num_words
+    ).astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class P2PController:
+    """Static p2p spec. kind: "replace" | "refine" | "reweight".
+
+    mapper / alphas from seq_aligner; cross_alpha the per-step word gate;
+    self_replace_until the step bound for self-attn map replacement
+    (p2p_stable.py:141-147/150-163)."""
+
+    kind: str
+    num_steps: int
+    cross_alpha: np.ndarray  # [T+1, n_edit, 1, 1, 77]
+    self_replace_until: int
+    mapper: Optional[np.ndarray] = None  # replace: [n, 77, 77]; refine: [n, 77]
+    refine_alphas: Optional[np.ndarray] = None  # refine: [n, 77]
+    equalizer: Optional[np.ndarray] = None  # reweight: [n, 77]
+
+    def replace_cross_attention(self, attn_base, attn_edit, edit_idx: int = 0):
+        """attn_*: [..., Q, 77] probabilities."""
+        if self.kind == "replace":
+            m = jnp.asarray(self.mapper[edit_idx])
+            return jnp.einsum("...pw,wn->...pn", attn_base, m)
+        if self.kind == "refine":
+            mapper = jnp.asarray(self.mapper[edit_idx])
+            alphas = jnp.asarray(self.refine_alphas[edit_idx])
+            base_replace = jnp.take(attn_base, jnp.maximum(mapper, 0), axis=-1)
+            return base_replace * alphas + attn_edit * (1 - alphas)
+        if self.kind == "reweight":
+            eq = jnp.asarray(self.equalizer[edit_idx])
+            return attn_edit * eq
+        raise ValueError(self.kind)
+
+    def edit_cross_probs(self, probs_base, probs_edit, step: int, edit_idx: int = 0):
+        """Apply the per-step word-gated blend (p2p_stable.py:141-148)."""
+        alpha = jnp.asarray(self.cross_alpha[step, edit_idx])
+        replaced = self.replace_cross_attention(probs_base, probs_edit, edit_idx)
+        return alpha * replaced + (1 - alpha) * probs_edit
+
+    def edit_self_probs(self, probs_base, probs_edit, step: int):
+        """Self-attn map replacement while step < bound (p2p_stable.py:150-157)."""
+        if step < self.self_replace_until:
+            return jnp.broadcast_to(probs_base, probs_edit.shape)
+        return probs_edit
+
+
+def make_controller(
+    prompts: Sequence[str],
+    tokenizer,
+    num_steps: int,
+    cross_replace_steps: Union[float, Dict] = 0.8,
+    self_replace_steps: float = 0.4,
+    equalizer_words: Optional[Sequence[str]] = None,
+    equalizer_values: Optional[Sequence[float]] = None,
+) -> P2PController:
+    """Pick Replace vs Refine by word-count match, like prepare_control
+    (inference.py:74-99); Reweight when an equalizer is given."""
+    cross_alpha = get_time_words_attention_alpha(
+        prompts, num_steps, cross_replace_steps, tokenizer
+    )
+    self_until = int(num_steps * self_replace_steps)
+    if equalizer_words is not None:
+        eq = np.ones((1, 77), np.float32)
+        for w, v in zip(equalizer_words, equalizer_values):
+            inds = get_word_inds(prompts[1], w, tokenizer)
+            eq[:, inds] = v
+        return P2PController(
+            kind="reweight", num_steps=num_steps, cross_alpha=cross_alpha,
+            self_replace_until=self_until, equalizer=eq,
+        )
+    if len(prompts[0].split(" ")) == len(prompts[1].split(" ")):
+        mapper = get_replacement_mapper(prompts, tokenizer)
+        return P2PController(
+            kind="replace", num_steps=num_steps, cross_alpha=cross_alpha,
+            self_replace_until=self_until, mapper=mapper,
+        )
+    mapper, alphas = get_refinement_mapper(prompts, tokenizer)
+    # alphas [n, 77] broadcast over heads/queries (p2p_stable.py:195-196)
+    return P2PController(
+        kind="refine", num_steps=num_steps, cross_alpha=cross_alpha,
+        self_replace_until=self_until, mapper=mapper, refine_alphas=alphas,
+    )

@@ -1,0 +1,268 @@
+"""Functional NN primitives (NHWC, explicit param pytrees).
+
+These are the building blocks for the video UNet / VAE / CLIP / ControlNet /
+adapter stacks. Every primitive is a pair of functions:
+
+  ``init_*`` -> param dict (leaves are jnp arrays)
+  ``*``      -> pure apply
+
+Conventions:
+  - images / features: NHWC;   video: [B, F, H, W, C]
+  - linear kernels: (in, out)  (transposed from torch's (out, in))
+  - conv kernels:   HWIO       (transposed from torch's OIHW)
+  - temporal conv kernels: WIO over the frame axis
+
+Reference primitives being re-expressed:
+  InflatedConv3d / TemporalConv / Upsample2D / Downsample2D:
+    motion_editor/models/resnet_2d.py:10-125
+  GEGLU feed-forward: diffusers FeedForward as used at attention_2d.py:427
+  Timesteps/TimestepEmbedding: unet_2d_condition.py:163-166
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# initializers (match torch defaults so random-init scales are comparable)
+# ---------------------------------------------------------------------------
+
+
+def _uniform(key, shape, bound):
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def init_linear(key, in_dim: int, out_dim: int, bias: bool = True, zero_init: bool = False):
+    kkey, bkey = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    params = {
+        "kernel": (
+            jnp.zeros((in_dim, out_dim), jnp.float32)
+            if zero_init
+            else _uniform(kkey, (in_dim, out_dim), bound)
+        )
+    }
+    if bias:
+        params["bias"] = (
+            jnp.zeros((out_dim,), jnp.float32) if zero_init else _uniform(bkey, (out_dim,), bound)
+        )
+    return params
+
+
+def linear(params, x):
+    y = x @ params["kernel"].astype(x.dtype)
+    if "bias" in params:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+def init_conv2d(
+    key,
+    in_ch: int,
+    out_ch: int,
+    kernel_size: int,
+    bias: bool = True,
+    zero_init: bool = False,
+):
+    kkey, bkey = jax.random.split(key)
+    fan_in = in_ch * kernel_size * kernel_size
+    bound = 1.0 / math.sqrt(fan_in)
+    shape = (kernel_size, kernel_size, in_ch, out_ch)
+    params = {
+        "kernel": jnp.zeros(shape, jnp.float32) if zero_init else _uniform(kkey, shape, bound)
+    }
+    if bias:
+        params["bias"] = (
+            jnp.zeros((out_ch,), jnp.float32) if zero_init else _uniform(bkey, (out_ch,), bound)
+        )
+    return params
+
+
+def conv2d(params, x, stride: int = 1, padding="SAME"):
+    """NHWC conv. ``padding`` is "SAME", "VALID", or an int."""
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x,
+        params["kernel"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+def inflated_conv3d(params, video, stride: int = 1, padding="SAME"):
+    """Per-frame 2D conv on [B, F, H, W, C] (resnet_2d.py:28-36 InflatedConv3d)."""
+    b, f, h, w, c = video.shape
+    y = conv2d(params, video.reshape(b * f, h, w, c), stride=stride, padding=padding)
+    return y.reshape(b, f, *y.shape[1:])
+
+
+def init_temporal_conv(key, channels: int, kernel_size: int = 3, zero_init: bool = True):
+    """Conv1d over the frame axis; zero-init by default so the inflated UNet
+    is a per-frame SD UNet at init (resnet_2d.py:14-16)."""
+    del key
+    if zero_init:
+        kernel = jnp.zeros((kernel_size, channels, channels), jnp.float32)
+        bias = jnp.zeros((channels,), jnp.float32)
+    else:
+        raise NotImplementedError("reference always zero-inits TemporalConv")
+    return {"kernel": kernel, "bias": bias}
+
+
+def temporal_conv(params, video, padding="SAME"):
+    """[B, F, H, W, C] -> conv over F at each spatial site (resnet_2d.py:18-26)."""
+    b, f, h, w, c = video.shape
+    x = video.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+    y = jax.lax.conv_general_dilated(
+        x,
+        params["kernel"].astype(x.dtype),
+        window_strides=(1,),
+        padding=padding,
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    y = y + params["bias"].astype(x.dtype)
+    return y.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+
+
+def init_group_norm(num_channels: int):
+    return {
+        "scale": jnp.ones((num_channels,), jnp.float32),
+        "bias": jnp.zeros((num_channels,), jnp.float32),
+    }
+
+
+def group_norm(params, x, num_groups: int = 32, eps: float = 1e-6):
+    """GroupNorm over channel-last tensors of any rank [..., C].
+
+    Stats are computed in fp32 over all non-leading-batch axes per group,
+    matching torch GroupNorm semantics (normalize over (C/G, *spatial)).
+    The leading axis is batch; everything between is spatial.
+    """
+    orig_dtype = x.dtype
+    c = x.shape[-1]
+    spatial = x.shape[1:-1]
+    b = x.shape[0]
+    xg = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = xg.var(axis=(1, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    xn = xg.reshape(b, *spatial, c)
+    out = xn * params["scale"] + params["bias"]
+    return out.astype(orig_dtype)
+
+
+def init_layer_norm(dim: int):
+    return {
+        "scale": jnp.ones((dim,), jnp.float32),
+        "bias": jnp.zeros((dim,), jnp.float32),
+    }
+
+
+def layer_norm(params, x, eps: float = 1e-5):
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = out * params["scale"] + params["bias"]
+    return out.astype(orig_dtype)
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def quick_gelu(x):
+    """CLIP's activation: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+# ---------------------------------------------------------------------------
+# GEGLU feed-forward (diffusers FeedForward, mult=4)
+# ---------------------------------------------------------------------------
+
+
+def init_feed_forward(key, dim: int, mult: int = 4):
+    k1, k2 = jax.random.split(key)
+    inner = dim * mult
+    return {
+        "proj_in": init_linear(k1, dim, inner * 2),
+        "proj_out": init_linear(k2, inner, dim),
+    }
+
+
+def feed_forward(params, x):
+    h = linear(params["proj_in"], x)
+    h, gate = jnp.split(h, 2, axis=-1)
+    h = h * jax.nn.gelu(gate, approximate=False)
+    return linear(params["proj_out"], h)
+
+
+# ---------------------------------------------------------------------------
+# timestep embedding
+# ---------------------------------------------------------------------------
+
+
+def sinusoidal_timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """diffusers get_timestep_embedding, SD UNet config (flip=True, shift=0)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    if flip_sin_to_cos:
+        return jnp.concatenate([cos, sin], axis=-1)
+    return jnp.concatenate([sin, cos], axis=-1)
+
+
+def init_timestep_embedding_mlp(key, in_dim: int, time_embed_dim: int):
+    k1, k2 = jax.random.split(key)
+    return {
+        "linear_1": init_linear(k1, in_dim, time_embed_dim),
+        "linear_2": init_linear(k2, time_embed_dim, time_embed_dim),
+    }
+
+
+def timestep_embedding_mlp(params, t_emb):
+    return linear(params["linear_2"], silu(linear(params["linear_1"], t_emb)))
+
+
+# ---------------------------------------------------------------------------
+# resampling
+# ---------------------------------------------------------------------------
+
+
+def upsample_nearest_2x(video):
+    """[B, F, H, W, C] -> [B, F, 2H, 2W, C] nearest (resnet_2d.py:77 with
+    scale_factor [1, 2, 2])."""
+    b, f, h, w, c = video.shape
+    x = video.reshape(b, f, h, 1, w, 1, c)
+    x = jnp.broadcast_to(x, (b, f, h, 2, w, 2, c))
+    return x.reshape(b, f, h * 2, w * 2, c)
+
+
+def nearest_resize(x, size: Tuple[int, int]):
+    """Nearest-neighbor resize of [..., H, W, C] to match torch
+    F.interpolate(mode="nearest") index selection (floor of scaled index)."""
+    h, w = x.shape[-3], x.shape[-2]
+    th, tw = size
+    rows = jnp.floor(jnp.arange(th) * (h / th)).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(tw) * (w / tw)).astype(jnp.int32)
+    x = jnp.take(x, rows, axis=-3)
+    return jnp.take(x, cols, axis=-2)

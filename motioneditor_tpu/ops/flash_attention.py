@@ -1,0 +1,150 @@
+"""Pallas TPU flash attention.
+
+Replaces the reference's xformers ``memory_efficient_attention`` calls
+(attention_2d.py:246-253, fully_control.py:415-418, controlnet_adapter.py)
+with an MXU-tiled streaming-softmax kernel: scores are never materialized in
+HBM, K/V stream through VMEM one block at a time with a running max/denom.
+
+Interface: q/k/v shaped [..., H, N, D] (any leading batch dims). Falls back
+to interpret mode off-TPU so the same code path is unit-testable on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale: float,
+    kv_len: int,
+    block_k: int,
+):
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    # Pin per-dot precision: the global jax_default_matmul_precision knob
+    # (used for fp32 parity runs) requests multi-pass emulation that Mosaic
+    # rejects for bf16 operands.
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    s = (
+        jax.lax.dot_general(
+            q,
+            k,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        * scale
+    )  # (block_q, block_k)
+
+    # mask padded keys in the final block
+    if kv_len % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_scr[:] = jnp.broadcast_to(
+        alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+    )
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32, precision=prec
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(kb == num_kb - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def _pad_axis(x, axis: int, multiple: int):
+    size = x.shape[axis]
+    rem = size % multiple
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, multiple - rem)
+    return jnp.pad(x, pad)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def _flash_3d(q, k, v, scale: float, block_q: int, block_k: int, interpret: bool):
+    bh, nq, d = q.shape
+    kv_len = k.shape[1]
+    qp = _pad_axis(q, 1, block_q)
+    kp = _pad_axis(k, 1, block_k)
+    vp = _pad_axis(v, 1, block_k)
+    nq_p, nk_p = qp.shape[1], kp.shape[1]
+    grid = (bh, nq_p // block_q, nk_p // block_k)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, kv_len=kv_len, block_k=block_k
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :nq, :]
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """Flash attention over [..., H, N, D]; returns same shape as q."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    *lead, nq, d = q.shape
+    kv_len = k.shape[-2]
+    q3 = q.reshape(-1, nq, d)
+    k3 = jnp.broadcast_to(k, tuple(lead) + (kv_len, d)).reshape(-1, kv_len, d)
+    v3 = jnp.broadcast_to(v, tuple(lead) + (kv_len, d)).reshape(-1, kv_len, d)
+    interpret = jax.default_backend() != "tpu"
+    bq = min(block_q, max(128, nq))
+    bk = min(block_k, max(128, kv_len))
+    out = _flash_3d(q3, k3, v3, float(scale), bq, bk, interpret)
+    return out.reshape(*lead, nq, d)

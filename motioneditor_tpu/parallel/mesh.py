@@ -1,0 +1,73 @@
+"""Device mesh + sharding layout for multi-chip scale.
+
+The reference's only parallelism is DDP via HF accelerate (train_bg.py:123,
+SURVEY §2.8). The TPU-native story replaces NCCL DDP with GSPMD over a
+``jax.sharding.Mesh`` with axes:
+
+  data   — data parallelism over videos (DCN-friendly)
+  frames — the headline axis: the latent video's frame dimension is sharded
+           over ICI. Sparse-causal / motion-frame attention needs only a
+           1-frame halo (XLA lowers the frame-index gather in
+           ops/attention.select_kv to a collective-permute); dense
+           spatio-temporal and causal-temporal attention become K/V
+           all-gathers over frames (Ulysses-style — F is small, so the
+           all-gather is cheap); cross-branch injection is branch-axis
+           indexing on replicated rows.
+
+Parameters are replicated; gradients are reduced by GSPMD (psum) when the
+loss is jitted over the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+FRAME_AXIS = "frames"
+
+
+def create_mesh(
+    mesh_shape: Tuple[int, int] = (1, 1), devices: Optional[Sequence] = None
+) -> Mesh:
+    """(data, frames) mesh. mesh_shape=(1, n_dev) shards only frames."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = int(np.prod(mesh_shape))
+    if n > len(devices):
+        raise ValueError(f"mesh {mesh_shape} needs {n} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:n]).reshape(mesh_shape)
+    return Mesh(dev_array, (DATA_AXIS, FRAME_AXIS))
+
+
+def auto_mesh(max_frames_shards: int = 8) -> Mesh:
+    """All devices on the frame axis (single-video editing workload)."""
+    n = min(len(jax.devices()), max_frames_shards)
+    return create_mesh((1, n), jax.devices()[:n])
+
+
+def video_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, F, H, W, C] -> batch over data, frames over frames."""
+    return NamedSharding(mesh, P(DATA_AXIS, FRAME_AXIS, None, None, None))
+
+
+def branch_video_sharding(mesh: Mesh) -> NamedSharding:
+    """[4, F, H, W, C] branch axis replicated, frames sharded (injection
+    reads across branches, so the branch axis must stay local)."""
+    return NamedSharding(mesh, P(None, FRAME_AXIS, None, None, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, mesh: Mesh):
+    """Replicate a parameter pytree across the mesh."""
+    return jax.device_put(params, replicated(mesh))
+
+
+def shard_video(x, mesh: Mesh, branch_axis: bool = False):
+    s = branch_video_sharding(mesh) if branch_axis else video_sharding(mesh)
+    return jax.device_put(x, s)

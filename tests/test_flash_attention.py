@@ -1,0 +1,37 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motioneditor_tpu.ops.attention import sdpa
+from motioneditor_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize(
+    "nq,nk,d",
+    [
+        (256, 256, 40),
+        (512, 1024, 64),
+        (384, 640, 80),  # non-multiple-of-block kv
+    ],
+)
+def test_flash_matches_reference(nq, nk, d):
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (2, 4, nq, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 4, nk, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 4, nk, d), jnp.float32)
+    scale = d**-0.5
+    ref = sdpa(q, k, v, scale, use_flash=False)
+    out = flash_attention(q, k, v, scale, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_bf16():
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 256, 64), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 256, 64), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 256, 64), jnp.bfloat16)
+    ref = sdpa(q, k, v, 0.125, use_flash=False)
+    out = flash_attention(q, k, v, 0.125, block_q=128, block_k=128)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )

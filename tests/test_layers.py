@@ -1,0 +1,150 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from motioneditor_tpu.models import layers as L
+
+
+def test_linear_matches_torch():
+    key = jax.random.PRNGKey(0)
+    p = L.init_linear(key, 8, 16)
+    x = np.random.RandomState(0).randn(4, 8).astype(np.float32)
+    tl = torch.nn.Linear(8, 16)
+    with torch.no_grad():
+        tl.weight.copy_(torch.from_numpy(np.asarray(p["kernel"]).T))
+        tl.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+    ref = tl(torch.from_numpy(x)).detach().numpy()
+    out = np.asarray(L.linear(p, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_conv2d_matches_torch():
+    key = jax.random.PRNGKey(0)
+    p = L.init_conv2d(key, 3, 5, 3)
+    x = np.random.RandomState(0).randn(2, 8, 8, 3).astype(np.float32)
+    tc = torch.nn.Conv2d(3, 5, 3, padding=1)
+    with torch.no_grad():
+        tc.weight.copy_(torch.from_numpy(np.asarray(p["kernel"]).transpose(3, 2, 0, 1)))
+        tc.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+    ref = tc(torch.from_numpy(x.transpose(0, 3, 1, 2))).detach().numpy()
+    out = np.asarray(L.conv2d(p, jnp.asarray(x), padding=1)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_conv2d_stride2_matches_torch():
+    key = jax.random.PRNGKey(1)
+    p = L.init_conv2d(key, 4, 4, 3)
+    x = np.random.RandomState(1).randn(1, 16, 16, 4).astype(np.float32)
+    tc = torch.nn.Conv2d(4, 4, 3, stride=2, padding=1)
+    with torch.no_grad():
+        tc.weight.copy_(torch.from_numpy(np.asarray(p["kernel"]).transpose(3, 2, 0, 1)))
+        tc.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+    ref = tc(torch.from_numpy(x.transpose(0, 3, 1, 2))).detach().numpy()
+    out = np.asarray(L.conv2d(p, jnp.asarray(x), stride=2, padding=1)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_group_norm_matches_torch():
+    p = L.init_group_norm(8)
+    x = np.random.RandomState(0).randn(2, 4, 4, 8).astype(np.float32)
+    tg = torch.nn.GroupNorm(4, 8, eps=1e-6)
+    ref = tg(torch.from_numpy(x.transpose(0, 3, 1, 2))).detach().numpy()
+    out = np.asarray(L.group_norm(p, jnp.asarray(x), num_groups=4)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_group_norm_video_rank5():
+    """GroupNorm on [B,F,H,W,C] must normalize per (batch,frame) to match the
+    reference applying torch GroupNorm on (b f) c h w."""
+    p = L.init_group_norm(8)
+    x = np.random.RandomState(0).randn(2, 3, 4, 4, 8).astype(np.float32)
+    out5 = np.asarray(
+        L.group_norm(p, jnp.asarray(x.reshape(6, 4, 4, 8)), num_groups=4)
+    )
+    tg = torch.nn.GroupNorm(4, 8, eps=1e-6)
+    ref = (
+        tg(torch.from_numpy(x.reshape(6, 4, 4, 8).transpose(0, 3, 1, 2)))
+        .detach()
+        .numpy()
+        .transpose(0, 2, 3, 1)
+    )
+    np.testing.assert_allclose(out5, ref, atol=1e-4)
+
+
+def test_layer_norm_matches_torch():
+    p = L.init_layer_norm(16)
+    x = np.random.RandomState(0).randn(3, 5, 16).astype(np.float32)
+    ref = torch.nn.functional.layer_norm(torch.from_numpy(x), (16,)).numpy()
+    out = np.asarray(L.layer_norm(p, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_temporal_conv_zero_init_is_zero():
+    p = L.init_temporal_conv(jax.random.PRNGKey(0), 8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 3, 3, 8))
+    out = L.temporal_conv(p, x)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_temporal_conv_matches_torch_conv1d():
+    p = L.init_temporal_conv(jax.random.PRNGKey(0), 4)
+    w = np.random.RandomState(0).randn(3, 4, 4).astype(np.float32) * 0.1
+    b = np.random.RandomState(1).randn(4).astype(np.float32) * 0.1
+    p = {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}
+    x = np.random.RandomState(2).randn(1, 5, 2, 2, 4).astype(np.float32)
+
+    tc = torch.nn.Conv1d(4, 4, 3, padding=1)
+    with torch.no_grad():
+        # WIO -> OIW
+        tc.weight.copy_(torch.from_numpy(w.transpose(2, 1, 0)))
+        tc.bias.copy_(torch.from_numpy(b))
+    # reference layout: (b h w) c f  (resnet_2d.py:22)
+    xt = torch.from_numpy(x.transpose(0, 2, 3, 4, 1).reshape(4, 4, 5))
+    ref = tc(xt).detach().numpy().reshape(1, 2, 2, 4, 5).transpose(0, 4, 1, 2, 3)
+    out = np.asarray(L.temporal_conv(p, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_timestep_embedding_matches_diffusers_formula():
+    t = jnp.asarray([0, 10, 999])
+    emb = np.asarray(L.sinusoidal_timestep_embedding(t, 320))
+    half = 160
+    expo = np.exp(-np.log(10000.0) * np.arange(half) / half)
+    arg = (np.asarray(t)[:, None] * expo[None]).astype(np.float32)
+    ref = np.concatenate([np.cos(arg), np.sin(arg)], axis=-1)
+    # fp32 trig of large args: compare against an fp32 oracle with slack
+    np.testing.assert_allclose(emb, ref, atol=2e-3)
+
+
+def test_upsample_nearest_2x():
+    x = jnp.arange(2 * 1 * 2 * 2 * 1, dtype=jnp.float32).reshape(2, 1, 2, 2, 1)
+    out = np.asarray(L.upsample_nearest_2x(x))
+    assert out.shape == (2, 1, 4, 4, 1)
+    np.testing.assert_array_equal(out[0, 0, :2, :2, 0], x[0, 0, 0, 0, 0])
+
+
+def test_nearest_resize_matches_torch():
+    x = np.random.RandomState(0).randn(1, 7, 9, 2).astype(np.float32)
+    out = np.asarray(L.nearest_resize(jnp.asarray(x), (4, 4)))
+    ref = (
+        torch.nn.functional.interpolate(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(4, 4), mode="nearest"
+        )
+        .numpy()
+        .transpose(0, 2, 3, 1)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_geglu_feed_forward():
+    p = L.init_feed_forward(jax.random.PRNGKey(0), 8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 8))
+    out = L.feed_forward(p, x)
+    assert out.shape == x.shape
+    # oracle via torch's exact gelu
+    h = np.asarray(x) @ np.asarray(p["proj_in"]["kernel"]) + np.asarray(p["proj_in"]["bias"])
+    a, g = np.split(h, 2, axis=-1)
+    ref_h = torch.from_numpy(a) * torch.nn.functional.gelu(torch.from_numpy(g))
+    ref = ref_h.numpy() @ np.asarray(p["proj_out"]["kernel"]) + np.asarray(p["proj_out"]["bias"])
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)

@@ -1,0 +1,41 @@
+"""Multi-device sharding tests.
+
+Each case runs in a subprocess on a forced 8-device virtual CPU mesh (the
+ambient axon TPU plugin ignores JAX_PLATFORMS, so in-process forcing is not
+possible once jax initializes). See tests/sharding_runner.py for the cases.
+"""
+
+import os.path as osp
+import subprocess
+import sys
+
+import pytest
+
+RUNNER = osp.join(osp.dirname(osp.abspath(__file__)), "sharding_runner.py")
+
+
+def _run(case: str, timeout: int = 3000):
+    proc = subprocess.run(
+        [sys.executable, RUNNER, case],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=osp.dirname(osp.dirname(RUNNER)),
+    )
+    assert proc.returncode == 0, f"{case} failed:\n{proc.stdout}\n{proc.stderr}"
+    return proc.stdout
+
+
+def test_frame_sharded_forward_matches_single_device():
+    out = _run("frame_sharded_forward")
+    assert "OK" in out
+
+
+def test_data_and_frame_sharded_train_step():
+    out = _run("train_step")
+    assert "OK" in out
+
+
+def test_graft_entry_dryrun_multichip():
+    out = _run("dryrun")
+    assert "dryrun_multichip ok" in out

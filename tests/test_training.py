@@ -1,0 +1,127 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motioneditor_tpu.models.controlnet import init_controlnet
+from motioneditor_tpu.models.unet import UNetConfig, init_unet
+from motioneditor_tpu.schedulers import DiffusionSchedule
+from motioneditor_tpu.training.common import (
+    combine_params,
+    make_optimizer,
+    make_train_state,
+    trainable_mask,
+)
+from motioneditor_tpu.training.stage1 import TRAINABLE_MODULES, train_step_stage1
+from motioneditor_tpu.training.stage2 import (
+    TRAINABLE_MODULES as S2_MODULES,
+    train_step_stage2,
+)
+
+TINY = UNetConfig(
+    block_out_channels=(32, 64, 64, 64),
+    norm_num_groups=8,
+    attention_heads=4,
+    cross_attention_dim=16,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_unet(jax.random.PRNGKey(0), TINY)
+    optimizer = make_optimizer(learning_rate=1e-3)
+    return params, optimizer
+
+
+def test_trainable_mask_selects_reference_modules(setup):
+    """Stage-1 unfreezes exactly attn1.to_q / attn2.to_q / attn_temp
+    (train_bg.py:100-104). attn_temp as a module name unfreezes its whole
+    subtree (q/k/v/out), like torch named_modules suffix matching."""
+    params, _ = setup
+    mask = trainable_mask(params, list(TRAINABLE_MODULES))
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    on = {".".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+          for path, v in flat if v}
+    assert any("attn1.to_q" in s for s in on)
+    assert any("attn2.to_q" in s for s in on)
+    assert any("attn_temp.to_k" in s for s in on)  # whole attn_temp module
+    assert not any("attn1.to_k" in s for s in on)
+    assert not any("conv1" in s for s in on)
+
+
+def test_stage1_step_updates_only_trainables(setup):
+    params, optimizer = setup
+    state = make_train_state(params, list(TRAINABLE_MODULES), optimizer)
+    latents = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 8, 4)) * 0.2
+    enc = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16))
+    new_state, metrics = train_step_stage1(
+        state, latents, enc, jax.random.PRNGKey(3),
+        unet_config=TINY, schedule=DiffusionSchedule(), optimizer=optimizer,
+        use_flash=False,
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    # trainables changed
+    old_q = state.trainable["down_blocks"][0]["attentions"][0]["blocks"][0]["attn1"]["to_q"]["kernel"]
+    new_q = new_state.trainable["down_blocks"][0]["attentions"][0]["blocks"][0]["attn1"]["to_q"]["kernel"]
+    assert not np.allclose(np.asarray(old_q), np.asarray(new_q))
+    # frozen unchanged (identical objects by construction)
+    old_c = state.frozen["conv_in"]["kernel"]
+    new_c = new_state.frozen["conv_in"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(old_c), np.asarray(new_c))
+    # loss decreases over a few steps on a fixed batch
+    s = state
+    losses = []
+    for i in range(5):
+        s, m = train_step_stage1(
+            s, latents, enc, jax.random.PRNGKey(42),  # fixed noise: same batch
+            unet_config=TINY, schedule=DiffusionSchedule(), optimizer=optimizer,
+            use_flash=False,
+        )
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_stage2_step_updates_only_adapter(setup):
+    params, optimizer = setup
+    cn_cfg = dataclasses.replace(TINY, video=False, use_sc_attn=False)
+    cn_params = init_controlnet(jax.random.PRNGKey(7), cn_cfg)
+    state = make_train_state(params, list(S2_MODULES), optimizer)
+    latents = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 8, 4)) * 0.2
+    skel = jax.random.uniform(jax.random.PRNGKey(2), (1, 2, 64, 64, 3))
+    enc = jax.random.normal(jax.random.PRNGKey(3), (1, 7, 16))
+    new_state, metrics = train_step_stage2(
+        state, cn_params, latents, skel, enc, jax.random.PRNGKey(4),
+        unet_config=TINY, controlnet_config=cn_cfg,
+        schedule=DiffusionSchedule(), optimizer=optimizer, use_flash=False,
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    old_a = state.trainable["controlnet_adapter"]["body"][0]["attn_pose"]["to_q"]["kernel"]
+    new_a = new_state.trainable["controlnet_adapter"]["body"][0]["attn_pose"]["to_q"]["kernel"]
+    assert not np.allclose(np.asarray(old_a), np.asarray(new_a))
+    # UNet proper is frozen in stage 2
+    assert new_state.frozen["conv_in"] is not None
+    full = new_state.params
+    np.testing.assert_array_equal(
+        np.asarray(full["conv_in"]["kernel"]), np.asarray(params["conv_in"]["kernel"])
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    params, optimizer = setup
+    from motioneditor_tpu.training.checkpoint import (
+        latest_checkpoint,
+        restore_train_state,
+        save_train_state,
+    )
+
+    state = make_train_state(params, list(TRAINABLE_MODULES), optimizer)
+    path = save_train_state(str(tmp_path), 42, state)
+    found = latest_checkpoint(str(tmp_path))
+    assert found is not None and found[1] == 42
+    restored = restore_train_state(path, state)
+    assert restored.step == 42
+    q0 = state.trainable["down_blocks"][0]["attentions"][0]["blocks"][0]["attn1"]["to_q"]["kernel"]
+    q1 = restored.trainable["down_blocks"][0]["attentions"][0]["blocks"][0]["attn1"]["to_q"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(q0), np.asarray(q1))
