@@ -119,21 +119,39 @@ def _cond_embedding(params, image):
     return conv2d(params["conv_out"], x, padding=1)
 
 
+def precompute_cond_embedding(params, controlnet_cond: jnp.ndarray) -> jnp.ndarray:
+    """Embed the conditioning image once: it is constant across all denoise
+    steps (the reference recomputes this 512x512 conv stack every step,
+    pipeline_motion_editor.py:618-625 — hoisting it out of the scan removes
+    that work entirely).
+
+    controlnet_cond: [B, F, H, W, 3] in [0,1] -> [B, F, H/8, W/8, 320].
+    """
+    b, f = controlnet_cond.shape[:2]
+    emb = _cond_embedding(
+        params["controlnet_cond_embedding"],
+        controlnet_cond.reshape(b * f, *controlnet_cond.shape[2:]),
+    )
+    return emb.reshape(b, f, *emb.shape[1:])
+
+
 def controlnet_apply(
     params,
     config: UNetConfig,
     sample: jnp.ndarray,
     timesteps: jnp.ndarray,
     encoder_hidden_states: jnp.ndarray,
-    controlnet_cond: jnp.ndarray,
+    controlnet_cond: jnp.ndarray = None,
     conditioning_scale: float = 1.0,
     use_flash: bool = True,
+    cond_embedding: jnp.ndarray = None,
 ) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
     """Run ControlNet per-frame.
 
     sample: [B, F, h, w, 4] latents; controlnet_cond: [B, F, H, W, 3] skeleton
-    images in [0,1]; encoder_hidden_states: [B, L, 768]. Returns (12 down
-    residuals, mid residual) as video tensors [B, F, ...].
+    images in [0,1] (or pass ``cond_embedding`` precomputed by
+    ``precompute_cond_embedding``); encoder_hidden_states: [B, L, 768].
+    Returns (12 down residuals, mid residual) as video tensors [B, F, ...].
     """
     c = config
     b, f = sample.shape[:2]
@@ -152,11 +170,9 @@ def controlnet_apply(
     from motioneditor_tpu.models.layers import inflated_conv3d
 
     h = inflated_conv3d(params["conv_in"], sample, padding=1)
-    cond = _cond_embedding(
-        params["controlnet_cond_embedding"],
-        controlnet_cond.reshape(b * f, *controlnet_cond.shape[2:]),
-    ).reshape(h.shape)
-    h = h + cond
+    if cond_embedding is None:
+        cond_embedding = precompute_cond_embedding(params, controlnet_cond)
+    h = h + cond_embedding.reshape(h.shape)
 
     res_samples = [h]
     layer_idx = 0

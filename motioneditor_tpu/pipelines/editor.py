@@ -207,9 +207,15 @@ class MotionEditorPipeline:
         spec = InjectionSpec.from_start_layer(start_layer)
 
         # ControlNet conditioning: both CFG rows see the target skeleton
-        # (pipeline:556-570 duplicates it for guidance).
+        # (pipeline:556-570 duplicates it for guidance). The conditioning
+        # embedding is step-invariant — compute it once, outside the scans.
+        from motioneditor_tpu.models.controlnet import precompute_cond_embedding
+
         cond_image = jnp.broadcast_to(
             target_skeleton[None], (2,) + target_skeleton.shape
+        )
+        cond_embedding = jax.jit(precompute_cond_embedding)(
+            self.controlnet_params, cond_image
         )
 
         lat = latents
@@ -238,7 +244,7 @@ class MotionEditorPipeline:
                 cond,
                 uncond,
                 seg_uncond,
-                cond_image,
+                cond_embedding,
                 masks,
             )
         if decode:
@@ -356,7 +362,7 @@ def _jit_denoise_segment(
         cond,
         uncond,
         seg_uncond,
-        cond_image,
+        cond_embedding,
         masks,
     ):
         f = latents.shape[1]
@@ -381,9 +387,9 @@ def _jit_denoise_segment(
                 cn_lat,
                 t,
                 cn_text,
-                cond_image,
                 conditioning_scale=controlnet_scale,
                 use_flash=use_flash,
+                cond_embedding=cond_embedding,
             )
             # mid residual zeroed on recon rows (pipeline:628-629)
             zero_mid = jnp.zeros_like(mid_res[:1])

@@ -98,10 +98,14 @@ def ddim_step(
     alpha_t = acp[timestep]
     alpha_prev = jnp.where(prev_t >= 0, acp[jnp.maximum(prev_t, 0)], schedule.final_alpha_cumprod)
 
+    # fp32 internally; preserve the caller's dtype (bf16 scans carry bf16)
+    dtype = sample.dtype
+    sample32 = sample.astype(jnp.float32)
+    eps32 = model_output.astype(jnp.float32)
     beta_t = 1.0 - alpha_t
-    pred_x0 = (sample - beta_t**0.5 * model_output) / alpha_t**0.5
-    direction = (1.0 - alpha_prev) ** 0.5 * model_output
-    return alpha_prev**0.5 * pred_x0 + direction
+    pred_x0 = (sample32 - beta_t**0.5 * eps32) / alpha_t**0.5
+    direction = (1.0 - alpha_prev) ** 0.5 * eps32
+    return (alpha_prev**0.5 * pred_x0 + direction).astype(dtype)
 
 
 def ddim_inverse_step(
@@ -126,10 +130,13 @@ def ddim_inverse_step(
     )
     alpha_to = acp[timestep]
 
+    dtype = sample.dtype
+    sample32 = sample.astype(jnp.float32)
+    eps32 = model_output.astype(jnp.float32)
     beta_from = 1.0 - alpha_from
-    x0 = (sample - beta_from**0.5 * model_output) / alpha_from**0.5
-    direction = (1.0 - alpha_to) ** 0.5 * model_output
-    return alpha_to**0.5 * x0 + direction
+    x0 = (sample32 - beta_from**0.5 * eps32) / alpha_from**0.5
+    direction = (1.0 - alpha_to) ** 0.5 * eps32
+    return (alpha_to**0.5 * x0 + direction).astype(dtype)
 
 
 def ddpm_add_noise(
@@ -142,9 +149,12 @@ def ddpm_add_noise(
     acp = schedule.alphas_cumprod
     sqrt_acp = acp[timesteps] ** 0.5
     sqrt_one_minus = (1.0 - acp[timesteps]) ** 0.5
-    # broadcast over trailing dims of sample
+    # broadcast over trailing dims of sample; preserve the sample's dtype
     shape = (-1,) + (1,) * (sample.ndim - 1)
-    return sqrt_acp.reshape(shape) * sample + sqrt_one_minus.reshape(shape) * noise
+    out = sqrt_acp.reshape(shape) * sample.astype(jnp.float32) + sqrt_one_minus.reshape(
+        shape
+    ) * noise.astype(jnp.float32)
+    return out.astype(sample.dtype)
 
 
 def ddpm_velocity(
