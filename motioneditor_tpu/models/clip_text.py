@@ -100,6 +100,22 @@ def clip_text_apply(
     return layer_norm(params["final_layer_norm"], x, eps=c.layer_norm_eps)
 
 
+def clip_text_embed(
+    params, input_ids: jnp.ndarray, config: CLIPTextConfig = CLIPTextConfig()
+) -> jnp.ndarray:
+    """Pooled + projected text embedding for CLIP-score evaluation.
+
+    Pooled state = hidden state at the EOT token (highest token id, CLIP
+    convention); projected through ``text_projection`` when present (openai
+    CLIP checkpoints have it; SD's text_encoder subfolder does not)."""
+    hidden = clip_text_apply(params, input_ids, config)
+    eot = jnp.argmax(input_ids, axis=-1)
+    pooled = jnp.take_along_axis(hidden, eot[:, None, None], axis=1)[:, 0]
+    if "text_projection" in params:
+        pooled = pooled @ params["text_projection"]["kernel"].astype(pooled.dtype)
+    return pooled
+
+
 # ---------------------------------------------------------------------------
 # tokenizers
 # ---------------------------------------------------------------------------

@@ -338,6 +338,8 @@ def port_clip_text(sd: Dict[str, np.ndarray]) -> dict:
         "final_layer_norm": _norm(sd, pre + "final_layer_norm"),
         "layers": [],
     }
+    if "text_projection.weight" in sd:  # openai CLIP ckpt (for CLIP-score eval)
+        p["text_projection"] = {"kernel": jnp.asarray(sd["text_projection.weight"].T)}
     i = 0
     while f"{pre}encoder.layers.{i}.self_attn.q_proj.weight" in sd:
         lp = f"{pre}encoder.layers.{i}"
