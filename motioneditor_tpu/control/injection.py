@@ -53,12 +53,32 @@ class InjectionSpec:
 
     ``spatial_layers`` / ``temporal_layers``: per-transformer-block booleans
     (length 16). ``active`` False means the whole segment runs vanilla.
+
+    ``mask_mode``:
+      "mask"   FullySelfAttentionControlMask — fg/bg K/V decomposition from
+               the dataset's protagonist masks (the live inference path)
+      "mutual" MutualSelfAttentionControl — target rows read source K/V
+      "auto"   FullySelfAttentionControlMaskAuto — fg/bg attention recomposed
+               by a mask auto-derived from the current step's 16x16
+               cross-attention maps (fully_control.py:131-328);
+               ``auto_token_idx`` selects the anchor-word tokens and
+               ``auto_thres`` the binarization threshold (:147, :316-318)
     """
 
     active: bool = False
     spatial_layers: Tuple[bool, ...] = (False,) * NUM_TRANSFORMER_BLOCKS
     temporal_layers: Tuple[bool, ...] = (False,) * NUM_TRANSFORMER_BLOCKS
-    mask_fgbg: bool = True  # FullySelfAttentionControlMask vs plain Mutual
+    mask_mode: str = "mask"
+    auto_token_idx: Tuple[int, ...] = (1,)
+    auto_thres: float = 0.1
+
+    @property
+    def mask_fgbg(self) -> bool:
+        return self.mask_mode == "mask"
+
+    @property
+    def collect_cross_maps(self) -> bool:
+        return self.mask_mode == "auto"
 
     @staticmethod
     def from_start_layer(
@@ -66,16 +86,23 @@ class InjectionSpec:
         total_layers: int = NUM_TRANSFORMER_BLOCKS,
         mask_fgbg: bool = True,
         layer_idx: Optional[Tuple[int, ...]] = None,
+        mask_mode: Optional[str] = None,
+        auto_token_idx: Tuple[int, ...] = (1,),
+        auto_thres: float = 0.1,
     ) -> "InjectionSpec":
         layers = tuple(
             (i in layer_idx) if layer_idx is not None else (i >= start_layer)
             for i in range(total_layers)
         )
+        if mask_mode is None:
+            mask_mode = "mask" if mask_fgbg else "mutual"
         return InjectionSpec(
             active=True,
             spatial_layers=layers,
             temporal_layers=layers,
-            mask_fgbg=mask_fgbg,
+            mask_mode=mask_mode,
+            auto_token_idx=tuple(auto_token_idx),
+            auto_thres=auto_thres,
         )
 
 
@@ -177,6 +204,28 @@ def injected_spatial_attention(
 
     if mask_fgbg and mask_n is not None:
         m = motion_frame_mask(mask_n)  # [F, 2N, 1]
+        if use_flash and n >= 1024:
+            # fused kernel: q.(k*m) == m*(q.k) and V_fg == V_bg, so the 5N-key
+            # concat collapses to one QK + one PV over the source keys
+            # (ops/injection_flash.py) — no concatenated K/V in HBM.
+            from motioneditor_tpu.ops.injection_flash import (
+                fused_injection_attention,
+            )
+
+            dim_head = q.shape[-1] // heads
+            out_tgt = fused_injection_attention(
+                split_heads(q[tgt], heads),
+                split_heads(k_mf[src], heads),
+                split_heads(v_mf[src], heads),
+                m[..., 0],  # [F, 2N]
+                split_heads(k[tgt], heads),
+                split_heads(v[tgt], heads),
+                scale,
+            )
+            out = jnp.stack(
+                [out_src[0], out_tgt[0], out_src[1], out_tgt[1]], axis=0
+            )
+            return linear(params["to_out"], merge_heads(out))
         k_src = k_mf[src]  # [2, F, 2N, C]
         v_src = v_mf[src]
         k_tgt_cur = k[tgt]  # [2, F, N, C] (current frame only)
@@ -207,3 +256,93 @@ def injected_temporal_kv(x: jnp.ndarray) -> jnp.ndarray:
     """K/V override for temporal injection: every branch row reads the
     reconstruction row of its CFG half (temporal_control.py:82-86)."""
     return x[np.asarray(TGT_TO_SRC)]
+
+
+def aggregate_cross_attn_mask(
+    cross_maps,
+    token_idx: Tuple[int, ...],
+    res: int,
+    thres: float,
+) -> jnp.ndarray:
+    """Auto-mask from collected 16x16 cross-attention maps
+    (fully_control.py:257-268 + :302-318).
+
+    cross_maps: list of [4F, 256, 77] mean-over-heads probability maps from
+    the current step's text cross-attentions. Returns a binarized spatial
+    mask [F, res*res, 1] for the editing rows (rows 3F: are the cond-edit
+    branch, :306)."""
+    agg = jnp.stack(cross_maps, axis=1).mean(axis=1)  # [4F, 256, 77]
+    img = agg[..., np.asarray(token_idx)].sum(-1)  # [4F, 256]
+    n16 = int(round(img.shape[-1] ** 0.5))
+    img = img.reshape(-1, n16, n16)
+    lo = img.min(axis=(1, 2), keepdims=True)
+    hi = img.max(axis=(1, 2), keepdims=True)
+    img = (img - lo) / jnp.maximum(hi - lo, 1e-8)
+    f4 = img.shape[0]
+    f = f4 // 4
+    tgt = img[3 * f :]  # cond-edit rows
+    tgt = nearest_resize(tgt[..., None], (res, res))[..., 0]
+    mask = (tgt >= thres).astype(img.dtype)
+    return mask.reshape(f, res * res, 1)
+
+
+def injected_spatial_attention_auto(
+    params,
+    x: jnp.ndarray,
+    heads: int,
+    source_mask_n: Optional[jnp.ndarray],
+    cross_maps,
+    token_idx: Tuple[int, ...],
+    thres: float,
+    use_flash: bool = True,
+) -> jnp.ndarray:
+    """FullySelfAttentionControlMaskAuto forward (fully_control.py:270-328).
+
+    Target rows attend ONLY the source rows' [prev, cur] K/V, twice — once
+    with fg-masked K AND V, once with bg-masked (MaskAuto masks values too,
+    :218-238) — and the two outputs are recomposed with a spatial mask
+    auto-derived from the current step's cross-attention maps. When no maps
+    have been collected yet this step, target rows use plain source K/V
+    (:293-296).
+    """
+    b, f, n, c = x.shape
+    assert b == 4
+    q = linear(params["to_q"], x)
+    k = linear(params["to_k"], x)
+    v = linear(params["to_v"], x)
+    k_mf = select_kv(k, MOTION_FRAME)
+    v_mf = select_kv(v, MOTION_FRAME)
+    dim_head = q.shape[-1] // heads
+    scale = dim_head**-0.5
+    src = np.asarray(SRC_ROWS)
+    tgt = np.asarray(TGT_ROWS)
+
+    out_src = sdpa(
+        split_heads(q[src], heads),
+        split_heads(k_mf[src], heads),
+        split_heads(v_mf[src], heads),
+        scale,
+        use_flash=use_flash,
+    )
+    q_t = split_heads(q[tgt], heads)
+
+    if not cross_maps or source_mask_n is None:
+        out_tgt = sdpa(
+            q_t, split_heads(k_mf[src], heads), split_heads(v_mf[src], heads),
+            scale, use_flash=use_flash,
+        )
+    else:
+        m = motion_frame_mask(source_mask_n)  # [F, 2N, 1]
+        k_fg = split_heads(k_mf[src] * m, heads)
+        v_fg = split_heads(v_mf[src] * m, heads)
+        k_bg = split_heads(k_mf[src] * (1 - m), heads)
+        v_bg = split_heads(v_mf[src] * (1 - m), heads)
+        out_fg = sdpa(q_t, k_fg, v_fg, scale, use_flash=use_flash)
+        out_bg = sdpa(q_t, k_bg, v_bg, scale, use_flash=use_flash)
+        res = int(round(n**0.5))
+        sm = aggregate_cross_attn_mask(cross_maps, token_idx, res, thres)
+        sm = split_heads(jnp.broadcast_to(sm, (2, f, n, 1)), 1).reshape(2, f, 1, n, 1)
+        out_tgt = out_fg * sm + out_bg * (1 - sm)
+
+    out = jnp.stack([out_src[0], out_tgt[0], out_src[1], out_tgt[1]], axis=0)
+    return linear(params["to_out"], merge_heads(out))

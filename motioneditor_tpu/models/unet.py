@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from motioneditor_tpu.control.injection import (
     InjectionSpec,
     injected_spatial_attention,
+    injected_spatial_attention_auto,
     injected_temporal_kv,
 )
 from motioneditor_tpu.models.layers import (
@@ -283,6 +284,10 @@ class AttnContext:
     injection: Optional[InjectionSpec] = None
     injection_masks: Optional[Dict[Tuple[int, int], jnp.ndarray]] = None
     use_flash: bool = True
+    # running 16x16 cross-attention maps for the MaskAuto editor; a plain
+    # python list mutated during the single trace (layers later in the
+    # forward consume maps produced by earlier layers, fully_control.py:293)
+    cross_maps: Optional[list] = None
 
 
 def basic_transformer_block(
@@ -300,9 +305,17 @@ def basic_transformer_block(
         mask_n = None
         if ctx.injection_masks is not None:
             mask_n = ctx.injection_masks.get(hw)
-        attn1_out = injected_spatial_attention(
-            params["attn1"], h, ctx.heads, mask_n, inj.mask_fgbg, use_flash=ctx.use_flash
-        )
+        if inj.mask_mode == "auto":
+            attn1_out = injected_spatial_attention_auto(
+                params["attn1"], h, ctx.heads, mask_n,
+                ctx.cross_maps or [], inj.auto_token_idx, inj.auto_thres,
+                use_flash=ctx.use_flash,
+            )
+        else:
+            attn1_out = injected_spatial_attention(
+                params["attn1"], h, ctx.heads, mask_n, inj.mask_fgbg,
+                use_flash=ctx.use_flash,
+            )
     else:
         attn1_out = spatial_self_attention(
             params["attn1"], h, attn1_mode, ctx.heads, use_flash=ctx.use_flash
@@ -310,8 +323,16 @@ def basic_transformer_block(
     tokens = tokens + attn1_out
 
     h = layer_norm(params["norm2"], tokens)
+    collect = (
+        inj is not None
+        and inj.active
+        and inj.collect_cross_maps
+        and ctx.cross_maps is not None
+        and tokens.shape[2] == 256  # 16x16 maps only (fully_control.py:431)
+    )
     tokens = tokens + cross_attention(
-        params["attn2"], h, ctx.encoder_hidden_states, ctx.heads
+        params["attn2"], h, ctx.encoder_hidden_states, ctx.heads,
+        collect_maps_into=ctx.cross_maps if collect else None,
     )
 
     tokens = tokens + feed_forward(params["ff"], layer_norm(params["norm3"], tokens))
@@ -387,6 +408,10 @@ def unet_apply(
         attn1_mode=NORMAL,
         injection=injection,
         injection_masks=injection_masks,
+        use_flash=use_flash,
+        cross_maps=[]
+        if (injection is not None and injection.active and injection.collect_cross_maps)
+        else None,
     )
 
     h = inflated_conv3d(params["conv_in"], sample, padding=1)

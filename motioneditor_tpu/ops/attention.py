@@ -176,9 +176,14 @@ def cross_attention(
     encoder_states: jnp.ndarray,
     heads: int,
     use_flash: bool = False,
+    collect_maps_into: Optional[list] = None,
 ) -> jnp.ndarray:
     """Text cross-attention. x: [B, F, N, C]; encoder_states: [B, L, D_text]
-    (repeated per frame, attention_2d.py:343)."""
+    (repeated per frame, attention_2d.py:343).
+
+    ``collect_maps_into``: when given, appends the mean-over-heads attention
+    probabilities [(B F), N, L] — the cross-attn map collection the MaskAuto
+    editor consumes (fully_control.py:430-432)."""
     b, f, n, c = x.shape
     q = linear(params["to_q"], x)
     k = linear(params["to_k"], encoder_states)  # [B, L, C]
@@ -188,8 +193,16 @@ def cross_attention(
     qh = split_heads(q, heads)  # [B, F, H, N, D]
     kh = split_heads(k, heads)[:, None]  # [B, 1, H, L, D] broadcast over frames
     vh = split_heads(v, heads)[:, None]
-    out = sdpa(qh, jnp.broadcast_to(kh, (b, f) + kh.shape[2:]),
-               jnp.broadcast_to(vh, (b, f) + vh.shape[2:]), scale, use_flash=use_flash)
+    kb = jnp.broadcast_to(kh, (b, f) + kh.shape[2:])
+    vb = jnp.broadcast_to(vh, (b, f) + vh.shape[2:])
+    if collect_maps_into is not None:
+        probs = attention_probs(qh, kb, scale)  # [B, F, H, N, L]
+        collect_maps_into.append(
+            probs.mean(axis=2).reshape(b * f, n, probs.shape[-1])
+        )
+        out = jnp.einsum("bfhqk,bfhkd->bfhqd", probs.astype(vb.dtype), vb)
+    else:
+        out = sdpa(qh, kb, vb, scale, use_flash=use_flash)
     return linear(params["to_out"], merge_heads(out))
 
 

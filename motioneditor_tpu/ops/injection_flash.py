@@ -1,0 +1,238 @@
+"""Fused fg/bg-masked injection attention kernel (Pallas TPU).
+
+The editing branch's attention (fully_control.py:372-422) computes softmax
+over K = [K_src*m, K_src*(1-m), K_tgt_cur] with V = [V_src, V_src, V_tgt_cur]
+(values NOT masked). Key algebraic identity: the mask multiplies a whole key
+vector by a scalar, so
+
+    q . (k_j * m_j) = m_j * (q . k_j)
+
+which means the fg and bg score columns are elementwise rescalings of ONE
+QK^T product, and because their value rows are identical the PV contraction
+collapses:
+
+    out = sum_j [exp(m_j s_j - M) + exp((1-m_j) s_j - M)] v_src_j
+        + sum_t exp(s_t - M) v_tgt_t          (all over the shared softmax)
+
+Compared to materializing the 5N-key concat (what the reference does through
+xformers), this kernel does 1 QK + 1 PV over the 2N source keys instead of
+2 + 2, never writes the concatenated K/V to HBM, and streams the mask as a
+per-key scalar row.
+
+Correctness oracle: control/injection.injected_spatial_attention's jnp path
+(tests/test_injection_flash.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _kernel(
+    q_ref,      # (1, bq, d)        pre-scaled queries
+    ks_ref,     # (1, d, bk)        source K^T block (clamped index when in tgt phase)
+    vs_ref,     # (1, bk, d)        source V block
+    m_ref,      # (1, 1, bk)        fg mask over source keys
+    kt_ref,     # (1, d, bk)        target-current K^T block (clamped in src phase)
+    vt_ref,     # (1, bk, d)        target-current V block
+    o_ref,      # (1, bq, d)
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    n_src_blocks: int,
+    tgt_len: int,
+    block_k: int,
+):
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if q.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def update(p, vv):
+        l_scr[:, :1] = l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] + jax.lax.dot(
+            p.astype(vv.dtype), vv, preferred_element_type=jnp.float32, precision=prec
+        )
+
+    @pl.when(kb < n_src_blocks)
+    def _src_phase():
+        kt = ks_ref[0]
+        v = vs_ref[0]
+        mask = m_ref[0, 0].astype(jnp.float32)  # (bk,)
+        s = jax.lax.dot_general(
+            q, kt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (bq, bk)
+        s_fg = s * mask[None, :]
+        s_bg = s - s_fg
+        blk_max = jnp.maximum(
+            jnp.max(s_fg, axis=-1, keepdims=True),
+            jnp.max(s_bg, axis=-1, keepdims=True),
+        )
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, blk_max)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:, :1] = l_scr[:, :1] * alpha
+        acc_scr[:] = acc_scr[:] * alpha
+        m_scr[:, :1] = m_new
+        p = jnp.exp(s_fg - m_new) + jnp.exp(s_bg - m_new)
+        update(p, v)
+
+    @pl.when(kb >= n_src_blocks)
+    def _tgt_phase():
+        kt = kt_ref[0]
+        v = vt_ref[0]
+        s = jax.lax.dot_general(
+            q, kt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        if tgt_len % block_k != 0:
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + (kb - n_src_blocks) * block_k
+            )
+            s = jnp.where(col < tgt_len, s, _NEG_INF)
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:, :1] = l_scr[:, :1] * alpha
+        acc_scr[:] = acc_scr[:] * alpha
+        m_scr[:, :1] = m_new
+        update(jnp.exp(s - m_new), v)
+
+    @pl.when(kb == num_kb - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, mult):
+    r = x.shape[axis] % mult
+    if r == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, mult - r)
+    return jnp.pad(x, pad)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "heads", "frames", "interpret"),
+)
+def _fused_3d(
+    q, k_src, v_src, mask, k_tgt, v_tgt, scale, block_q, block_k, heads, frames,
+    interpret,
+):
+    """Flattened batch ordering is (branch, frame, head); ``mask`` is
+    per-frame [F, Ns] and the index map recovers frame = (b // heads) % F."""
+    bh, nq, d = q.shape
+    n_src = k_src.shape[1]
+    n_tgt = k_tgt.shape[1]
+    assert n_src % block_k == 0, "source keys (2*HW) align to block_k"
+
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qp = _pad_to(qs, 1, block_q)
+    kst = k_src.transpose(0, 2, 1)
+    ktt = _pad_to(k_tgt, 1, block_k).transpose(0, 2, 1)
+    vtp = _pad_to(v_tgt, 1, block_k)
+    nq_p = qp.shape[1]
+    n_src_blocks = n_src // block_k
+    n_tgt_blocks = ktt.shape[2] // block_k
+    grid = (bh, nq_p // block_q, n_src_blocks + n_tgt_blocks)
+
+    def src_idx(b, qi, ki):
+        return (b, 0, jnp.minimum(ki, n_src_blocks - 1))
+
+    def srcv_idx(b, qi, ki):
+        return (b, jnp.minimum(ki, n_src_blocks - 1), 0)
+
+    def mask_idx(b, qi, ki):
+        frame = (b // heads) % frames
+        return (frame * n_src_blocks + jnp.minimum(ki, n_src_blocks - 1), 0, 0)
+
+    def tgt_idx(b, qi, ki):
+        return (b, 0, jnp.maximum(ki - n_src_blocks, 0))
+
+    def tgtv_idx(b, qi, ki):
+        return (b, jnp.maximum(ki - n_src_blocks, 0), 0)
+
+    # (F*n_src_blocks, 1, block_k): sublane dim 1 == full dim so Mosaic
+    # accepts the (1, 1, block_k) block shape
+    mask3 = mask.reshape(mask.shape[0] * n_src_blocks, 1, block_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            n_src_blocks=n_src_blocks,
+            tgt_len=n_tgt,
+            block_k=block_k,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, d, block_k), src_idx),
+            pl.BlockSpec((1, block_k, d), srcv_idx),
+            pl.BlockSpec((1, 1, block_k), mask_idx),
+            pl.BlockSpec((1, d, block_k), tgt_idx),
+            pl.BlockSpec((1, block_k, d), tgtv_idx),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kst, v_src, mask3, ktt, vtp)
+    return out[:, :nq]
+
+
+def fused_injection_attention(
+    q: jnp.ndarray,       # [B, F, H, Nq, D] target-branch queries
+    k_src: jnp.ndarray,   # [B, F, H, Ns, D] source-branch motion-frame keys
+    v_src: jnp.ndarray,   # [B, F, H, Ns, D]
+    mask: jnp.ndarray,    # [F, Ns]          fg mask over source keys, per frame
+    k_tgt: jnp.ndarray,   # [B, F, H, Nt, D] target current-frame keys
+    v_tgt: jnp.ndarray,   # [B, F, H, Nt, D]
+    scale: float,
+    block_q: int = 1024,
+    block_k: int = 1024,
+) -> jnp.ndarray:
+    """Softmax over [K_src*m, K_src*(1-m), K_tgt] with V [V_src, V_src, V_tgt]
+    without materializing the concatenation (see module docstring)."""
+    b, f, h, nq, d = q.shape
+    ns, nt = k_src.shape[-2], k_tgt.shape[-2]
+    q3 = q.reshape(-1, nq, d)
+    ks = k_src.reshape(-1, ns, d)
+    vs = v_src.reshape(-1, ns, d)
+    kt = k_tgt.reshape(-1, nt, d)
+    vt = v_tgt.reshape(-1, nt, d)
+    bk = min(block_k, ns)
+    while ns % bk != 0:
+        bk //= 2
+    bq = min(block_q, max(128, nq))
+    interpret = jax.default_backend() != "tpu"
+    out = _fused_3d(
+        q3, ks, vs, mask.astype(jnp.float32), kt, vt,
+        float(scale), bq, bk, h, f, interpret,
+    )
+    return out.reshape(b, f, h, nq, d)
