@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -109,6 +110,58 @@ class P2PController:
         if step < self.self_replace_until:
             return jnp.broadcast_to(probs_base, probs_edit.shape)
         return probs_edit
+
+
+@dataclasses.dataclass(frozen=True)
+class LocalBlend:
+    """Word-localized latent blending (p2p_stable.py:20-44).
+
+    Restricts the edit to regions where the selected words attend: outside
+    the thresholded cross-attention mask, the edited latents are replaced by
+    the source branch's latents.
+
+    ``alpha_layers``: [n_prompts, 77] one-hot word selection (built by
+    ``make_local_blend``); ``threshold``: mask binarization (ref 0.3).
+    """
+
+    alpha_layers: np.ndarray
+    threshold: float = 0.3
+    pool_k: int = 3
+
+    def __call__(self, latents: jnp.ndarray, cross_maps) -> jnp.ndarray:
+        """latents: [B, F, h, w, 4] (row 0 = source/recon branch);
+        cross_maps: list of [(B F), 256, 77] 16x16 attention maps."""
+        b, f, h, w, c = latents.shape
+        maps = jnp.stack(cross_maps, axis=1)  # [(B F), L, 256, 77]
+        maps = maps.reshape(b, f, maps.shape[1], 16, 16, maps.shape[-1])
+        alpha = jnp.asarray(self.alpha_layers)  # [B, 77]
+        sel = (maps * alpha[:, None, None, None, None, :]).sum(-1)  # [B,F,L,16,16]
+        sel = sel.mean(axis=2)  # [B, F, 16, 16]
+        # smooth + resize to latent res + per-map max-normalize (ref :31-36)
+        k = self.pool_k
+        sel = jax.lax.reduce_window(
+            sel, -jnp.inf, jax.lax.max, (1, 1, k, k), (1, 1, 1, 1), "SAME"
+        )
+        sel = jax.image.resize(sel, (b, f, h, w), method="bilinear")
+        hi = sel.max(axis=(2, 3), keepdims=True)
+        sel = sel / jnp.maximum(hi, 1e-8)
+        mask = (sel > self.threshold).astype(latents.dtype)[..., None]
+        mask = jnp.maximum(mask, mask[:1])  # union with the source mask (:41)
+        return latents[:1] + mask * (latents - latents[:1])
+
+
+def make_local_blend(
+    prompts: Sequence[str], words: Sequence[Sequence[str]], tokenizer,
+    threshold: float = 0.3,
+) -> LocalBlend:
+    alpha = np.zeros((len(prompts), 77), np.float32)
+    for i, (p, ws) in enumerate(zip(prompts, words)):
+        if isinstance(ws, str):
+            ws = [ws]
+        for w in ws:
+            inds = get_word_inds(p, w, tokenizer)
+            alpha[i, inds] = 1.0
+    return LocalBlend(alpha_layers=alpha, threshold=threshold)
 
 
 def make_controller(

@@ -125,36 +125,61 @@ class VideoDataset:
         else:
             start = 0
         sample_index = video_indices[start : start + self.n_sample_frames]
+        names = [self.frame_list[fi] for fi in sample_index]
 
         size = (self.height, self.width)
-        frames, masks = [], []
-        src_conds = {c: [] for c in self.condition}
-        tgt_conds = {c: [] for c in self.condition}
-        for fi in sample_index:
-            name = self.frame_list[fi]
-            frame = _read_image(osp.join(self.video_path, name + self.video_suffix))
-            frames.append(_bilinear_resize(frame, size))
-            if self.source_mask_dir:
-                with Image.open(osp.join(self.source_mask_dir, name + ".png")) as im:
-                    m = np.asarray(im.convert("L"), np.float32) / 255.0
-            else:
-                m = np.ones(frame.shape[:2], np.float32)
-            masks.append(_nearest_resize(m, size))
+        frame_paths = [
+            osp.join(self.video_path, n + self.video_suffix) for n in names
+        ]
+
+        # native decode path (native/frame_loader.cc): matches the
+        # reference's torch bilinear (no antialias); falls back to PIL
+        from motioneditor_tpu.data import native_loader as nl
+
+        frames_arr = nl.load_frames(frame_paths, *size) if nl.available() else None
+        if frames_arr is None:
+            frames_arr = np.stack(
+                [_bilinear_resize(_read_image(p), size) for p in frame_paths]
+            )
+
+        if self.source_mask_dir:
+            mask_paths = [osp.join(self.source_mask_dir, n + ".png") for n in names]
+            masks_arr = (
+                nl.load_frames(mask_paths, *size, mode=nl.MODE_GRAY_NEAREST)
+                if nl.available()
+                else None
+            )
+            if masks_arr is None:
+                ms = []
+                for p in mask_paths:
+                    with Image.open(p) as im:
+                        ms.append(
+                            _nearest_resize(
+                                np.asarray(im.convert("L"), np.float32), size
+                            )
+                        )
+                masks_arr = np.stack(ms)[..., None]
+            masks_arr = masks_arr[..., 0] / 255.0
+        else:
+            masks_arr = np.ones((len(names),) + size, np.float32)
+
+        def load_conditions(dirs):
+            out = {}
             for c in self.condition:
-                sc = _read_image(
-                    osp.join(self.source_condition_path[c], name + self.condition_suffix)
-                )
-                tc = _read_image(
-                    osp.join(self.target_condition_path[c], name + self.condition_suffix)
-                )
-                src_conds[c].append(_bilinear_resize(sc, size) / 255.0)
-                tgt_conds[c].append(_bilinear_resize(tc, size) / 255.0)
+                paths = [osp.join(dirs[c], n + self.condition_suffix) for n in names]
+                arr = nl.load_frames(paths, *size) if nl.available() else None
+                if arr is None:
+                    arr = np.stack(
+                        [_bilinear_resize(_read_image(p), size) for p in paths]
+                    )
+                out[c] = arr / 255.0
+            return out
 
         return {
-            "pixel_values": np.stack(frames) / 127.5 - 1.0,
-            "source_conditions": {c: np.stack(v) for c, v in src_conds.items()},
-            "target_conditions": {c: np.stack(v) for c, v in tgt_conds.items()},
-            "source_masks": np.stack(masks),
+            "pixel_values": frames_arr / 127.5 - 1.0,
+            "source_conditions": load_conditions(self.source_condition_path),
+            "target_conditions": load_conditions(self.target_condition_path),
+            "source_masks": masks_arr,
             "sample_indices": np.asarray(sample_index, np.int64),
             "prompt": self.prompt,
         }

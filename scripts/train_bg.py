@@ -74,6 +74,8 @@ def main(config_path: str):
     ids = tokenize(pipe.tokenizer, [ds.prompt])
     enc = clip_text_apply(pipe.text_params, ids, pipe.text_config)
 
+    import jax as _jax
+    initial_trainable = _jax.tree_util.tree_map(lambda x: x, state.trainable)
     step = int(state.step)
     t0 = time.time()
     while step < cfg.max_train_steps:
@@ -84,6 +86,7 @@ def main(config_path: str):
             use_flash=cfg.use_flash_attention,
             remat=cfg.gradient_checkpointing,
             compute_dtype=frozen_dtype,
+            accum_steps=cfg.gradient_accumulation_steps,
         )
         step += 1
         if step % 10 == 0 or step == 1:
@@ -93,6 +96,21 @@ def main(config_path: str):
         if step % cfg.checkpointing_steps == 0:
             path = save_train_state(cfg.output_dir, step, state)
             print(f"saved state to {path}")
+        if step % cfg.validation_steps == 0:
+            # weight-change probe (train_bg.py:371-384)
+            import jax as _jax
+            changed = any(
+                bool((a != b).any())
+                for a, b in zip(
+                    _jax.tree_util.tree_leaves(state.trainable),
+                    _jax.tree_util.tree_leaves(initial_trainable),
+                )
+            )
+            print(
+                "The weights of the model have changed after training"
+                if changed
+                else "The weights of the model remain the same after training"
+            )
     print("done")
 
 

@@ -51,27 +51,33 @@ def test_trainable_mask_selects_reference_modules(setup):
     assert not any("conv1" in s for s in on)
 
 
+def _fresh(p):
+    # the train steps donate their state; tests must not reuse donated buffers
+    return jax.tree_util.tree_map(lambda x: jnp.array(x), p)
+
+
 def test_stage1_step_updates_only_trainables(setup):
     params, optimizer = setup
-    state = make_train_state(params, list(TRAINABLE_MODULES), optimizer)
+    state = make_train_state(_fresh(params), list(TRAINABLE_MODULES), optimizer)
     latents = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 8, 4)) * 0.2
     enc = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16))
+    # snapshot compared leaves BEFORE the (donating) step
+    old_q = np.asarray(
+        state.trainable["down_blocks"][0]["attentions"][0]["blocks"][0]["attn1"]["to_q"]["kernel"]
+    )
+    old_c = np.asarray(state.frozen["conv_in"]["kernel"])
     new_state, metrics = train_step_stage1(
         state, latents, enc, jax.random.PRNGKey(3),
         unet_config=TINY, schedule=DiffusionSchedule(), optimizer=optimizer,
         use_flash=False,
     )
     assert np.isfinite(float(metrics["loss"]))
-    # trainables changed
-    old_q = state.trainable["down_blocks"][0]["attentions"][0]["blocks"][0]["attn1"]["to_q"]["kernel"]
     new_q = new_state.trainable["down_blocks"][0]["attentions"][0]["blocks"][0]["attn1"]["to_q"]["kernel"]
-    assert not np.allclose(np.asarray(old_q), np.asarray(new_q))
-    # frozen unchanged (identical objects by construction)
-    old_c = state.frozen["conv_in"]["kernel"]
+    assert not np.allclose(old_q, np.asarray(new_q))
     new_c = new_state.frozen["conv_in"]["kernel"]
-    np.testing.assert_array_equal(np.asarray(old_c), np.asarray(new_c))
+    np.testing.assert_array_equal(old_c, np.asarray(new_c))
     # loss decreases over a few steps on a fixed batch
-    s = state
+    s = new_state
     losses = []
     for i in range(5):
         s, m = train_step_stage1(
@@ -87,19 +93,21 @@ def test_stage2_step_updates_only_adapter(setup):
     params, optimizer = setup
     cn_cfg = dataclasses.replace(TINY, video=False, use_sc_attn=False)
     cn_params = init_controlnet(jax.random.PRNGKey(7), cn_cfg)
-    state = make_train_state(params, list(S2_MODULES), optimizer)
+    state = make_train_state(_fresh(params), list(S2_MODULES), optimizer)
     latents = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 8, 4)) * 0.2
     skel = jax.random.uniform(jax.random.PRNGKey(2), (1, 2, 64, 64, 3))
     enc = jax.random.normal(jax.random.PRNGKey(3), (1, 7, 16))
+    old_a = np.asarray(
+        state.trainable["controlnet_adapter"]["body"][0]["attn_pose"]["to_q"]["kernel"]
+    )
     new_state, metrics = train_step_stage2(
         state, cn_params, latents, skel, enc, jax.random.PRNGKey(4),
         unet_config=TINY, controlnet_config=cn_cfg,
         schedule=DiffusionSchedule(), optimizer=optimizer, use_flash=False,
     )
     assert np.isfinite(float(metrics["loss"]))
-    old_a = state.trainable["controlnet_adapter"]["body"][0]["attn_pose"]["to_q"]["kernel"]
     new_a = new_state.trainable["controlnet_adapter"]["body"][0]["attn_pose"]["to_q"]["kernel"]
-    assert not np.allclose(np.asarray(old_a), np.asarray(new_a))
+    assert not np.allclose(old_a, np.asarray(new_a))
     # UNet proper is frozen in stage 2
     assert new_state.frozen["conv_in"] is not None
     full = new_state.params
@@ -116,7 +124,7 @@ def test_checkpoint_roundtrip(tmp_path, setup):
         save_train_state,
     )
 
-    state = make_train_state(params, list(TRAINABLE_MODULES), optimizer)
+    state = make_train_state(_fresh(params), list(TRAINABLE_MODULES), optimizer)
     path = save_train_state(str(tmp_path), 42, state)
     found = latest_checkpoint(str(tmp_path))
     assert found is not None and found[1] == 42
