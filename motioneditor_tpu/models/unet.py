@@ -323,13 +323,9 @@ def basic_transformer_block(
     tokens = tokens + attn1_out
 
     h = layer_norm(params["norm2"], tokens)
-    collect = (
-        inj is not None
-        and inj.active
-        and inj.collect_cross_maps
-        and ctx.cross_maps is not None
-        and tokens.shape[2] == 256  # 16x16 maps only (fully_control.py:431)
-    )
+    # collection is driven by the presence of the maps list (set either by
+    # auto-mode injection or by unet_apply_with_maps)
+    collect = ctx.cross_maps is not None and tokens.shape[2] == 256
     tokens = tokens + cross_attention(
         params["attn2"], h, ctx.encoder_hidden_states, ctx.heads,
         collect_maps_into=ctx.cross_maps if collect else None,
@@ -381,6 +377,7 @@ def unet_apply(
     mid_block_additional_residual: Optional[jnp.ndarray] = None,
     use_flash: bool = True,
     remat: bool = False,
+    _cross_maps_out: Optional[list] = None,
 ) -> jnp.ndarray:
     """Full UNet forward (unet_2d_condition.py:363-546).
 
@@ -409,9 +406,17 @@ def unet_apply(
         injection=injection,
         injection_masks=injection_masks,
         use_flash=use_flash,
-        cross_maps=[]
-        if (injection is not None and injection.active and injection.collect_cross_maps)
-        else None,
+        cross_maps=_cross_maps_out
+        if _cross_maps_out is not None
+        else (
+            []
+            if (
+                injection is not None
+                and injection.active
+                and injection.collect_cross_maps
+            )
+            else None
+        ),
     )
 
     h = inflated_conv3d(params["conv_in"], sample, padding=1)
@@ -519,3 +524,18 @@ def unet_apply(
     h = silu(h)
     h = inflated_conv3d(params["conv_out"], h, padding=1)
     return h
+
+
+def unet_apply_with_maps(params, config, sample, timesteps, encoder_hidden_states,
+                         **kwargs):
+    """UNet forward that also returns the 16x16 cross-attention maps —
+    the functional MutualAttentionStore (fully_control_utils.py:74-107):
+    maps are mean-over-heads probabilities [(B F), 256, 77], one per
+    16x16 transformer block, in forward order. Works with or without an
+    injection spec (the forward math is unchanged by collection)."""
+    maps: list = []
+    out = unet_apply(
+        params, config, sample, timesteps, encoder_hidden_states,
+        _cross_maps_out=maps, **kwargs,
+    )
+    return out, maps

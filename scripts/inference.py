@@ -110,9 +110,15 @@ def build_pipeline(cfg, need_controlnet: bool = True) -> MotionEditorPipeline:
 def main(config_path: str):
     from motioneditor_tpu.utils.runtime import setup
 
-    setup()
+    setup()  # compile cache; precision applied after config load
 
     cfg = load_config(config_path)
+    if cfg.mixed_precision in ("no", "fp32"):
+        # fp32 parity mode (eval-motion.yaml mixed_precision: "no"):
+        # force true-fp32 matmul passes instead of bf16-split defaults
+        import jax as _jax
+
+        _jax.config.update("jax_default_matmul_precision", "highest")
     os.makedirs(cfg.output_dir, exist_ok=True)
     os.makedirs(osp.join(cfg.output_dir, "sample"), exist_ok=True)
     save_config(cfg, osp.join(cfg.output_dir, "config.yaml"))

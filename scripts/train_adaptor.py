@@ -32,11 +32,17 @@ from motioneditor_tpu.training.stage2 import TRAINABLE_MODULES, train_step_stage
 def main(config_path: str):
     from motioneditor_tpu.utils.runtime import setup
 
-    setup()
+    setup()  # compile cache; precision applied after config load
 
     from scripts.inference import build_pipeline
 
     cfg = load_config(config_path)
+    if cfg.mixed_precision in ("no", "fp32"):
+        # fp32 parity mode (eval-motion.yaml mixed_precision: "no"):
+        # force true-fp32 matmul passes instead of bf16-split defaults
+        import jax as _jax
+
+        _jax.config.update("jax_default_matmul_precision", "highest")
     os.makedirs(cfg.output_dir, exist_ok=True)
     save_config(cfg, osp.join(cfg.output_dir, "config.yaml"))
 
