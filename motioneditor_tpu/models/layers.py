@@ -222,9 +222,21 @@ def sinusoidal_timestep_embedding(
 ) -> jnp.ndarray:
     """diffusers get_timestep_embedding, SD UNet config (flip=True, shift=0)."""
     half = dim // 2
-    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
-    exponent = exponent / (half - downscale_freq_shift)
-    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    # frequencies as host-side fp64 constants: TPU's approximate exp() costs
+    # ~1e-6 relative on each frequency, which becomes ~1e-3 absolute in the
+    # angle at t~1000
+    freqs = jnp.asarray(
+        np.exp(
+            -math.log(max_period)
+            * np.arange(half, dtype=np.float64)
+            / (half - downscale_freq_shift)
+        ),
+        dtype=jnp.float32,
+    )
+    emb = freqs[None, :] * timesteps.astype(jnp.float32)[:, None]
+    # explicit 2-pi range reduction keeps fp32 sin/cos accurate at t~1000
+    two_pi = 2.0 * math.pi
+    emb = emb - two_pi * jnp.floor(emb / two_pi)
     sin, cos = jnp.sin(emb), jnp.cos(emb)
     if flip_sin_to_cos:
         return jnp.concatenate([cos, sin], axis=-1)

@@ -5,12 +5,12 @@ Replaces the reference's xformers ``memory_efficient_attention`` calls
 with an MXU-tiled streaming-softmax kernel: scores are never materialized in
 HBM, K/V stream through VMEM one block at a time with a running max/denom.
 
-Measured on TPU v5e at the editing hot shape (B2 H8 Nq4096 Nkv20480 d40,
-bf16): 9.5 ms (≈23 TFLOP/s) vs 43.5 ms for jax's bundled
-pallas flash_attention — the kernel is softmax(VPU)-bound at SD-1.5's
-d=40 head size, so the design minimizes elementwise passes: q is pre-scaled
-once, K is fed pre-transposed (d, bk) so the MXU consumes it directly, and
-the running max/denom live in single-column scratch slices.
+Measured on TPU v5e at SD-1.5 attention shapes (d=40, bf16) the kernel is
+4-6x faster than jax's bundled pallas flash_attention. Design notes from
+measurement: the kernel is softmax(VPU)-bound at d=40, so elementwise passes
+are minimized (q pre-scaled once, single-column running max/denom scratch);
+K blocks are transposed IN-KERNEL via the dot_general contraction — feeding
+K pre-transposed from HBM costs an XLA copy that is 20%+ of end-to-end time.
 
 Interface: q/k/v shaped [..., H, N, D] (any leading batch dims). Falls back
 to interpret mode off-TPU so the same code path is unit-testable on CPU.
@@ -36,7 +36,7 @@ DEFAULT_BLOCK_K = 1024
 
 def _flash_kernel(
     q_ref,
-    kt_ref,
+    k_ref,
     v_ref,
     o_ref,
     m_scr,
@@ -56,7 +56,7 @@ def _flash_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0]  # (block_q, d) — pre-scaled by the wrapper
-    kt = kt_ref[0]  # (d, block_k) — pre-transposed: direct MXU (m,k)x(k,n)
+    k = k_ref[0]  # (block_k, d) — transposed in-kernel: cheaper than an HBM copy
     v = v_ref[0]
 
     # Pin per-dot precision: the global jax_default_matmul_precision knob
@@ -69,8 +69,8 @@ def _flash_kernel(
     )
     s = jax.lax.dot_general(
         q,
-        kt,
-        (((1,), (0,)), ((), ())),
+        k,
+        (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=prec,
     )  # (block_q, block_k)
@@ -111,7 +111,7 @@ def _flash_3d(q, k, v, scale: float, block_q: int, block_k: int, interpret: bool
     kv_len = k.shape[1]
     qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
     qp = _pad_axis(qs, 1, block_q)
-    ktp = _pad_axis(k, 1, block_k).transpose(0, 2, 1)  # (bh, d, nk_p)
+    kp = _pad_axis(k, 1, block_k)
     vp = _pad_axis(v, 1, block_k)
     nq_p, nk_p = qp.shape[1], vp.shape[1]
     grid = (bh, nq_p // block_q, nk_p // block_k)
@@ -121,7 +121,7 @@ def _flash_3d(q, k, v, scale: float, block_q: int, block_k: int, interpret: bool
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, d, block_k), lambda b, qi, ki: (b, 0, ki)),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
@@ -132,7 +132,7 @@ def _flash_3d(q, k, v, scale: float, block_q: int, block_k: int, interpret: bool
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, ktp, vp)
+    )(qp, kp, vp)
     return out[:, :nq, :]
 
 

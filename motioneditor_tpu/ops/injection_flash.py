@@ -38,10 +38,10 @@ _NEG_INF = -1e30
 
 def _kernel(
     q_ref,      # (1, bq, d)        pre-scaled queries
-    ks_ref,     # (1, d, bk)        source K^T block (clamped index when in tgt phase)
+    ks_ref,     # (1, bk, d)        source K block (clamped index when in tgt phase)
     vs_ref,     # (1, bk, d)        source V block
     m_ref,      # (1, 1, bk)        fg mask over source keys
-    kt_ref,     # (1, d, bk)        target-current K^T block (clamped in src phase)
+    kt_ref,     # (1, bk, d)        target-current K block (clamped in src phase)
     vt_ref,     # (1, bk, d)        target-current V block
     o_ref,      # (1, bq, d)
     m_scr,
@@ -76,11 +76,11 @@ def _kernel(
 
     @pl.when(kb < n_src_blocks)
     def _src_phase():
-        kt = ks_ref[0]
+        kk = ks_ref[0]
         v = vs_ref[0]
         mask = m_ref[0, 0].astype(jnp.float32)  # (bk,)
         s = jax.lax.dot_general(
-            q, kt, (((1,), (0,)), ((), ())),
+            q, kk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )  # (bq, bk)
         s_fg = s * mask[None, :]
@@ -100,10 +100,10 @@ def _kernel(
 
     @pl.when(kb >= n_src_blocks)
     def _tgt_phase():
-        kt = kt_ref[0]
+        kk = kt_ref[0]
         v = vt_ref[0]
         s = jax.lax.dot_general(
-            q, kt, (((1,), (0,)), ((), ())),
+            q, kk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
         if tgt_len % block_k != 0:
@@ -151,16 +151,16 @@ def _fused_3d(
 
     qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
     qp = _pad_to(qs, 1, block_q)
-    kst = k_src.transpose(0, 2, 1)
-    ktt = _pad_to(k_tgt, 1, block_k).transpose(0, 2, 1)
+    kst = k_src
+    ktt = _pad_to(k_tgt, 1, block_k)
     vtp = _pad_to(v_tgt, 1, block_k)
     nq_p = qp.shape[1]
     n_src_blocks = n_src // block_k
-    n_tgt_blocks = ktt.shape[2] // block_k
+    n_tgt_blocks = ktt.shape[1] // block_k
     grid = (bh, nq_p // block_q, n_src_blocks + n_tgt_blocks)
 
     def src_idx(b, qi, ki):
-        return (b, 0, jnp.minimum(ki, n_src_blocks - 1))
+        return (b, jnp.minimum(ki, n_src_blocks - 1), 0)
 
     def srcv_idx(b, qi, ki):
         return (b, jnp.minimum(ki, n_src_blocks - 1), 0)
@@ -170,7 +170,7 @@ def _fused_3d(
         return (frame * n_src_blocks + jnp.minimum(ki, n_src_blocks - 1), 0, 0)
 
     def tgt_idx(b, qi, ki):
-        return (b, 0, jnp.maximum(ki - n_src_blocks, 0))
+        return (b, jnp.maximum(ki - n_src_blocks, 0), 0)
 
     def tgtv_idx(b, qi, ki):
         return (b, jnp.maximum(ki - n_src_blocks, 0), 0)
@@ -188,10 +188,10 @@ def _fused_3d(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, d, block_k), src_idx),
+            pl.BlockSpec((1, block_k, d), src_idx),
             pl.BlockSpec((1, block_k, d), srcv_idx),
             pl.BlockSpec((1, 1, block_k), mask_idx),
-            pl.BlockSpec((1, d, block_k), tgt_idx),
+            pl.BlockSpec((1, block_k, d), tgt_idx),
             pl.BlockSpec((1, block_k, d), tgtv_idx),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),

@@ -111,10 +111,11 @@ def test_timestep_embedding_matches_diffusers_formula():
     emb = np.asarray(L.sinusoidal_timestep_embedding(t, 320))
     half = 160
     expo = np.exp(-np.log(10000.0) * np.arange(half) / half)
-    arg = (np.asarray(t)[:, None] * expo[None]).astype(np.float32)
+    arg = np.asarray(t)[:, None].astype(np.float64) * expo[None]
     ref = np.concatenate([np.cos(arg), np.sin(arg)], axis=-1)
-    # fp32 trig of large args: compare against an fp32 oracle with slack
-    np.testing.assert_allclose(emb, ref, atol=2e-3)
+    # host-side fp64 frequencies + 2-pi range reduction keep the embedding
+    # within ~1e-4 of the fp64 reference even at t=999 on TPU
+    np.testing.assert_allclose(emb, ref, atol=5e-4)
 
 
 def test_upsample_nearest_2x():
