@@ -326,6 +326,10 @@ def basic_transformer_block(
     # collection is driven by the presence of the maps list (set either by
     # auto-mode injection or by unet_apply_with_maps)
     collect = ctx.cross_maps is not None and tokens.shape[2] == 256
+    # NOTE: cross-attn stays on the XLA einsum path — flash with kv=77 padded
+    # to one 128 block measured slightly SLOWER end-to-end (87.1 vs 85.6
+    # ms/step/frame): kernel launch + k/v broadcast outweigh the fp32 score
+    # round-trip at this kv length.
     tokens = tokens + cross_attention(
         params["attn2"], h, ctx.encoder_hidden_states, ctx.heads,
         collect_maps_into=ctx.cross_maps if collect else None,

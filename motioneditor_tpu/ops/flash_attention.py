@@ -33,6 +33,18 @@ _NEG_INF = -1e30
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 
+# bf16 fast path (v4): bounded-score softmax with NO running max. Scores are
+# clamped at _CAP and shifted by it, removing the per-block max reduce and
+# the acc/l rescale passes — measured 17% kernel time at the SD hot shape.
+# p = exp(s - _CAP): exact vs running-max softmax for scores in
+# [_CAP - 103, _CAP] (fp32 denormal floor e^-103); scores below the floor
+# round to probability 0, which is harmless unless an entire row is there
+# (then the eps in the final divide yields 0, not NaN). SD attention logits
+# live within roughly ±30, so _CAP=60 keeps both margins comfortable.
+# exp2 form folds log2(e) into the q pre-scale (one fewer VPU multiply).
+_CAP = 60.0
+_NOMAX_BLOCK_Q = 2048  # best measured (s block 8MB fp32 of 16MB VMEM)
+
 
 def _flash_kernel(
     q_ref,
@@ -95,6 +107,53 @@ def _flash_kernel(
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
+def _flash_kernel_nomax(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    l_scr,
+    acc_scr,
+    *,
+    kv_len: int,
+    block_k: int,
+):
+    """bf16 fast path: shared-shift softmax, no running max (see _CAP note)."""
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # pre-scaled by scale * log2(e)
+    k = k_ref[0]
+    v = v_ref[0]
+    # pin per-dot precision: the global jax_default_matmul_precision knob
+    # requests multi-pass emulation that Mosaic rejects for bf16 operands
+    prec = jax.lax.Precision.DEFAULT
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (block_q, block_k), in log2 units
+
+    cap2 = _CAP * 1.4426950408889634
+    if kv_len % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+    p = jnp.exp2(jnp.minimum(s, cap2) - cap2)
+    l_scr[:, :1] = l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32, precision=prec
+    )
+
+    @pl.when(kb == num_kb - 1)
+    def _finalize():
+        # eps guards the (pathological) all-underflow row: 0 instead of NaN
+        o_ref[0] = (acc_scr[:] / (l_scr[:, :1] + 1e-30)).astype(o_ref.dtype)
+
+
 def _pad_axis(x, axis: int, multiple: int):
     size = x.shape[axis]
     rem = size % multiple
@@ -109,15 +168,31 @@ def _pad_axis(x, axis: int, multiple: int):
 def _flash_3d(q, k, v, scale: float, block_q: int, block_k: int, interpret: bool):
     bh, nq, d = q.shape
     kv_len = k.shape[1]
-    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    nomax = q.dtype == jnp.bfloat16  # fp32 keeps the exact running-max path
+    q_scale = scale * 1.4426950408889634 if nomax else scale
+    qs = (q.astype(jnp.float32) * q_scale).astype(q.dtype)
     qp = _pad_axis(qs, 1, block_q)
     kp = _pad_axis(k, 1, block_k)
     vp = _pad_axis(v, 1, block_k)
     nq_p, nk_p = qp.shape[1], vp.shape[1]
     grid = (bh, nq_p // block_q, nk_p // block_k)
 
+    if nomax:
+        kernel = functools.partial(_flash_kernel_nomax, kv_len=kv_len, block_k=block_k)
+        scratch = [
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(_flash_kernel, kv_len=kv_len, block_k=block_k)
+        scratch = [
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ]
+
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, kv_len=kv_len, block_k=block_k),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
@@ -126,11 +201,7 @@ def _flash_3d(q, k, v, scale: float, block_q: int, block_k: int, interpret: bool
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, nq_p, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(qp, kp, vp)
     return out[:, :nq, :]
@@ -153,6 +224,8 @@ def flash_attention(
     k3 = jnp.broadcast_to(k, tuple(lead) + (kv_len, d)).reshape(-1, kv_len, d)
     v3 = jnp.broadcast_to(v, tuple(lead) + (kv_len, d)).reshape(-1, kv_len, d)
     interpret = jax.default_backend() != "tpu"
+    if q.dtype == jnp.bfloat16 and block_q == DEFAULT_BLOCK_Q:
+        block_q = _NOMAX_BLOCK_Q
     bq = min(block_q, max(128, nq))
     bk = min(block_k, max(128, kv_len))
     out = _flash_3d(q3, k3, v3, float(scale), bq, bk, interpret)

@@ -125,6 +125,74 @@ def _kernel(
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
+_LOG2E = 1.4426950408889634
+_CAP = 60.0  # see ops/flash_attention.py: bounded-score softmax cap
+
+
+def _kernel_nomax(
+    q_ref, ks_ref, vs_ref, m_ref, kt_ref, vt_ref, o_ref, l_scr, acc_scr,
+    *, n_src_blocks: int, tgt_len: int, block_k: int,
+):
+    """bf16 fast path: shared-shift softmax without the running max
+    (same bounded-score argument as flash_attention._flash_kernel_nomax;
+    queries pre-scaled by scale*log2e so scores are in log2 units)."""
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+    cap2 = _CAP * _LOG2E
+
+    @pl.when(kb == 0)
+    def _init():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    # pin per-dot precision (global matmul-precision knob vs Mosaic bf16)
+    prec = jax.lax.Precision.DEFAULT
+
+    def update(p, vv):
+        l_scr[:, :1] = l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] + jax.lax.dot(
+            p.astype(vv.dtype), vv, preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    @pl.when(kb < n_src_blocks)
+    def _src_phase():
+        kk = ks_ref[0]
+        v = vs_ref[0]
+        mask = m_ref[0, 0].astype(jnp.float32)  # (bk,)
+        s = jax.lax.dot_general(
+            q, kk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        s_fg = s * mask[None, :]
+        s_bg = s - s_fg
+        p = jnp.exp2(jnp.minimum(s_fg, cap2) - cap2) + jnp.exp2(
+            jnp.minimum(s_bg, cap2) - cap2
+        )
+        update(p, v)
+
+    @pl.when(kb >= n_src_blocks)
+    def _tgt_phase():
+        kk = kt_ref[0]
+        v = vt_ref[0]
+        s = jax.lax.dot_general(
+            q, kk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        if tgt_len % block_k != 0:
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + (kb - n_src_blocks) * block_k
+            )
+            s = jnp.where(col < tgt_len, s, _NEG_INF)
+        update(jnp.exp2(jnp.minimum(s, cap2) - cap2), v)
+
+    @pl.when(kb == num_kb - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / (l_scr[:, :1] + 1e-30)).astype(o_ref.dtype)
+
+
 def _pad_to(x, axis, mult):
     r = x.shape[axis] % mult
     if r == 0:
@@ -149,7 +217,9 @@ def _fused_3d(
     n_tgt = k_tgt.shape[1]
     assert n_src % block_k == 0, "source keys (2*HW) align to block_k"
 
-    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    nomax = q.dtype == jnp.bfloat16  # fp32 keeps the exact running-max path
+    q_scale = scale * _LOG2E if nomax else scale
+    qs = (q.astype(jnp.float32) * q_scale).astype(q.dtype)
     qp = _pad_to(qs, 1, block_q)
     kst = k_src
     ktt = _pad_to(k_tgt, 1, block_k)
@@ -178,13 +248,25 @@ def _fused_3d(
     # (F*n_src_blocks, 1, block_k): sublane dim 1 == full dim so Mosaic
     # accepts the (1, 1, block_k) block shape
     mask3 = mask.reshape(mask.shape[0] * n_src_blocks, 1, block_k)
+    if nomax:
+        kernel = functools.partial(
+            _kernel_nomax, n_src_blocks=n_src_blocks, tgt_len=n_tgt, block_k=block_k
+        )
+        scratch = [
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(
+            _kernel, n_src_blocks=n_src_blocks, tgt_len=n_tgt, block_k=block_k
+        )
+        scratch = [
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ]
     out = pl.pallas_call(
-        functools.partial(
-            _kernel,
-            n_src_blocks=n_src_blocks,
-            tgt_len=n_tgt,
-            block_k=block_k,
-        ),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
@@ -196,11 +278,7 @@ def _fused_3d(
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, nq_p, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(qp, kst, v_src, mask3, ktt, vtp)
     return out[:, :nq]
