@@ -36,7 +36,7 @@ from motioneditor_tpu.ops.attention import (
     cross_attention,
     init_attention,
     spatial_self_attention,
-    temporal_self_attention,
+    temporal_self_attention_video,
 )
 
 ADAPTER_HEADS = 8
@@ -118,12 +118,11 @@ def adapter_block_apply(params, x, source_hidden, use_flash: bool = True):
 
     tokens = tokens + feed_forward(params["ff"], layer_norm(params["ff_norm"], tokens))
 
-    xt = tokens.transpose(0, 2, 1, 3)  # [B, N, F, C]
-    nt = layer_norm(params["norm_self_temp"], xt)
-    xt = xt + temporal_self_attention(
-        params["attn_self_temp"], nt, ADAPTER_HEADS, causal=True
+    nt = layer_norm(params["norm_self_temp"], tokens)
+    tokens = tokens + temporal_self_attention_video(
+        params["attn_self_temp"], nt, ADAPTER_HEADS, causal=True,
+        use_kernel=use_flash,
     )
-    tokens = xt.transpose(0, 2, 1, 3)
 
     attn = tokens.reshape(b, f, h, w, c)
     return attn + conv

@@ -62,7 +62,7 @@ from motioneditor_tpu.ops.attention import (
     cross_attention,
     init_attention,
     spatial_self_attention,
-    temporal_self_attention,
+    temporal_self_attention_video,
 )
 
 
@@ -338,14 +338,14 @@ def basic_transformer_block(
     tokens = tokens + feed_forward(params["ff"], layer_norm(params["norm3"], tokens))
 
     if "attn_temp" in params:
-        # [B, F, N, C] -> [B, N, F, C]: frames become the sequence axis
-        xt = tokens.transpose(0, 2, 1, 3)
-        ht = layer_norm(params["norm_temp"], xt)
+        # frames are the sequence axis; the Pallas temporal kernel works on
+        # the native [B, F, N, C] layout (no transpose round-trip)
+        ht = layer_norm(params["norm_temp"], tokens)
         kv_override = injected_temporal_kv(ht) if temporal_gate else None
-        xt = xt + temporal_self_attention(
-            params["attn_temp"], ht, ctx.heads, causal=True, kv_override=kv_override
+        tokens = tokens + temporal_self_attention_video(
+            params["attn_temp"], ht, ctx.heads, causal=True,
+            kv_override=kv_override, use_kernel=ctx.use_flash,
         )
-        tokens = xt.transpose(0, 2, 1, 3)
     return tokens
 
 

@@ -239,3 +239,40 @@ def temporal_self_attention(
     bias = causal_temporal_bias(f) if causal else None
     out = sdpa(qh, kh, vh, scale, bias=bias, use_flash=False)
     return linear(params["to_out"], merge_heads(out))
+
+
+def temporal_self_attention_video(
+    params,
+    x: jnp.ndarray,
+    heads: int,
+    causal: bool = True,
+    kv_override: Optional[jnp.ndarray] = None,
+    use_kernel: bool = True,
+) -> jnp.ndarray:
+    """Temporal attention taking video tokens in their NATIVE layout
+    [B, F, N, C] — same math as :func:`temporal_self_attention`, without the
+    [B, N, F, C] transpose round-trip at the call site.
+
+    With ``use_kernel`` the Pallas kernel (ops/temporal_flash.py) runs the
+    whole attention in the native layout: no head-split relayout copies and
+    no HBM-materialized [B, N, H, F, F] score tensor (the XLA lowering's
+    measured overheads at 64x64 — see PERF.md).
+    """
+    b, f, n, c = x.shape
+    kv_src = x if kv_override is None else kv_override
+    # measured crossover (PERF.md): the kernel wins for large token counts
+    # (2.1x at N=4096/C=320) but loses below N=512 where its F^2 elementwise
+    # products over full C outweigh the XLA path's relayout copies
+    if use_kernel and n >= 512 and c % heads == 0:
+        from motioneditor_tpu.ops.temporal_flash import temporal_flash_attention
+
+        q = linear(params["to_q"], x)
+        k = linear(params["to_k"], kv_src)
+        v = linear(params["to_v"], kv_src)
+        scale = (q.shape[-1] // heads) ** -0.5
+        out = temporal_flash_attention(q, k, v, scale, heads, causal=causal)
+        return linear(params["to_out"], out)
+    xt = x.transpose(0, 2, 1, 3)
+    kvt = None if kv_override is None else kv_src.transpose(0, 2, 1, 3)
+    out = temporal_self_attention(params, xt, heads, causal=causal, kv_override=kvt)
+    return out.transpose(0, 2, 1, 3)

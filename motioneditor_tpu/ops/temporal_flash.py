@@ -1,0 +1,118 @@
+"""Pallas TPU kernel for temporal self-attention over the frame axis.
+
+The reference's ``TemporalSelfAttention`` (temporal_attn.py:14) attends over
+frames at every spatial site: tokens [B, F, N, C] are viewed as N*H
+independent length-F sequences of d=C/H channels. F is tiny (8-24), so on
+TPU the XLA lowering of this shape is pathological: it transposes the whole
+activation to [B, N, F, C], splits heads ([B, N, H, F, D] relayout copies),
+and materializes a [B, N, H, F, F] fp32 score tensor in HBM — measured
+~2.5 ms/layer of pure data movement at 64x64 (profiles in PERF.md).
+
+This kernel keeps the NATIVE token layout end to end: blocks of
+[F, bn, C] stream through VMEM, and the per-head score reduction uses the
+head-summing matmul trick so no head split ever happens:
+
+    s[n, h] = sum_c q[f, n, c] * k[g, n, c] * M[c, h],   M[c, h] = [c//d == h]
+
+i.e. one elementwise product (VPU) + one (bn, C) x (C, H) matmul (MXU) per
+frame pair, then probabilities are broadcast back per channel with M^T and
+the PV contraction is an elementwise FMA against v[g]. The F x F pair loop
+is fully unrolled at trace time; causal masking is exact (g > f pairs are
+never computed, matching the additive -1e4 mask of attention_2d.py:542-543
+to within exp(-1e4) ~= 0).
+
+Softmax is computed in fp32 regardless of input dtype (parity with the
+reference's fp32-upcast attention); off-TPU the kernel runs in interpret
+mode so the same path is unit-testable on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _head_matrix(c: int, heads: int):
+    """(C, H) 0/1 matrix summing each head's channel block."""
+    d = c // heads
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 0) // d
+    hh = jax.lax.broadcasted_iota(jnp.int32, (c, heads), 1)
+    return (ch == hh).astype(jnp.float32)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, causal: bool, scale: float):
+    f_len = q_ref.shape[1]
+    c = q_ref.shape[3]
+    m_mat = _head_matrix(c, heads)
+    mt_mat = m_mat.T
+
+    ks = [k_ref[0, g].astype(jnp.float32) for g in range(f_len)]
+    vs = [v_ref[0, g] for g in range(f_len)]
+
+    for f in range(f_len):
+        qf = q_ref[0, f].astype(jnp.float32)  # (bn, C)
+        glim = (f + 1) if causal else f_len
+        s_list = []
+        for g in range(glim):
+            e = qf * ks[g]
+            s = jax.lax.dot(e, m_mat, preferred_element_type=jnp.float32)
+            s_list.append(s * scale)  # (bn, H)
+        m = s_list[0]
+        for s in s_list[1:]:
+            m = jnp.maximum(m, s)
+        ps = [jnp.exp(s - m) for s in s_list]
+        l = ps[0]
+        for p in ps[1:]:
+            l = l + p
+        inv = 1.0 / l
+        acc = None
+        for g in range(glim):
+            pc = jax.lax.dot(ps[g] * inv, mt_mat, preferred_element_type=jnp.float32)
+            term = pc * vs[g].astype(jnp.float32)
+            acc = term if acc is None else acc + term
+        o_ref[0, f] = acc.astype(o_ref.dtype)
+
+
+def _pick_block_n(n: int, f: int, c: int, itemsize: int) -> int:
+    """Largest power-of-two bn dividing n with ~10MB total VMEM across the
+    4 double-buffered [F, bn, C] blocks."""
+    budget = 10_000_000 // (8 * f * c * itemsize)
+    bn = 8
+    while bn * 2 <= min(n, max(8, budget)):
+        bn *= 2
+    return min(bn, n)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "heads", "causal", "interpret")
+)
+def _temporal_4d(q, k, v, scale: float, heads: int, causal: bool, interpret: bool):
+    b, f, n, c = q.shape
+    bn = _pick_block_n(n, f, c, q.dtype.itemsize)
+    grid = (b, n // bn)
+    spec = pl.BlockSpec((1, f, bn, c), lambda bi, ni: (bi, 0, ni, 0))
+    return pl.pallas_call(
+        functools.partial(_kernel, heads=heads, causal=causal, scale=scale),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def temporal_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    heads: int,
+    causal: bool = True,
+) -> jnp.ndarray:
+    """Temporal attention over [B, F, N, C] without leaving the native token
+    layout (see module docstring). Returns [B, F, N, C]."""
+    interpret = jax.default_backend() != "tpu"
+    return _temporal_4d(q, k, v, float(scale), heads, causal, interpret)

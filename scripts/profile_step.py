@@ -9,7 +9,11 @@ from __future__ import annotations
 
 import argparse
 import os
+import os.path as osp
 import shutil
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def main():
