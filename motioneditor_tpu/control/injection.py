@@ -184,14 +184,45 @@ def injected_spatial_attention(
     q = linear(params["to_q"], x)
     k = linear(params["to_k"], x)
     v = linear(params["to_v"], x)
-    k_mf = select_kv(k, MOTION_FRAME)  # [4, F, 2N, C]
-    v_mf = select_kv(v, MOTION_FRAME)
-
-    dim_head = q.shape[-1] // heads
+    inner = q.shape[-1]
+    dim_head = inner // heads
     scale = dim_head**-0.5
 
     src = np.asarray(SRC_ROWS)
     tgt = np.asarray(TGT_ROWS)
+
+    if use_flash and n >= 1024:
+        from motioneditor_tpu.ops.video_flash import (
+            video_flash_attention,
+            video_flash_supported,
+            video_injection_attention,
+        )
+
+        if video_flash_supported(n, inner, heads, q.dtype.itemsize, injection=True):
+            # packed-head kernels: head split, motion-frame K/V selection and
+            # the fg/bg mask decomposition all happen in-kernel — nothing is
+            # concatenated or head-split in HBM
+            out_src = video_flash_attention(
+                q[src], k[src], v[src], MOTION_FRAME, scale, heads
+            )
+            if mask_fgbg and mask_n is not None:
+                out_tgt = video_injection_attention(
+                    q[tgt], k[src], v[src], k[tgt], v[tgt],
+                    mask_n[..., 0], scale, heads,
+                )
+            else:
+                # MutualSelfAttentionControl: target queries read the source
+                # row's motion-frame K/V wholesale (fully_control.py:83-87)
+                out_tgt = video_flash_attention(
+                    q[tgt], k[src], v[src], MOTION_FRAME, scale, heads
+                )
+            out = jnp.stack(
+                [out_src[0], out_tgt[0], out_src[1], out_tgt[1]], axis=0
+            )
+            return linear(params["to_out"], out)
+
+    k_mf = select_kv(k, MOTION_FRAME)  # [4, F, 2N, C]
+    v_mf = select_kv(v, MOTION_FRAME)
 
     # source rows: vanilla motion-frame attention
     out_src = sdpa(

@@ -158,11 +158,24 @@ def spatial_self_attention(
     q = linear(params["to_q"], x)
     k = linear(params["to_k"], x)
     v = linear(params["to_v"], x)
+    inner = q.shape[-1]
+    dim_head = inner // heads
+    scale = dim_head**-0.5
+
+    if use_flash and n >= _FLASH_MIN_Q:
+        from motioneditor_tpu.ops.video_flash import (
+            video_flash_attention,
+            video_flash_supported,
+        )
+
+        if video_flash_supported(n, inner, heads, q.dtype.itemsize):
+            # packed-head kernel: head split AND frame-selection K/V happen
+            # in-kernel — no select_kv concat or split_heads relayouts in HBM
+            out = video_flash_attention(q, k, v, mode, scale, heads)
+            return linear(params["to_out"], out)
+
     k = select_kv(k, mode)
     v = select_kv(v, mode)
-
-    dim_head = q.shape[-1] // heads
-    scale = dim_head**-0.5
     qh = split_heads(q, heads)  # [B, F, H, N, D]
     kh = split_heads(k, heads)
     vh = split_heads(v, heads)

@@ -215,18 +215,34 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jnp.ndarray:
-    """Flash attention over [..., H, N, D]; returns same shape as q."""
+    """Flash attention over [..., H, N, D]; returns same shape as q.
+
+    Differentiable: under jax.grad the computation routes through the plain
+    fp32-softmax einsum oracle (ops/diffable.py) — pallas_call has no VJP."""
+    from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
+
     if scale is None:
         scale = q.shape[-1] ** -0.5
     *lead, nq, d = q.shape
     kv_len = k.shape[-2]
-    q3 = q.reshape(-1, nq, d)
-    k3 = jnp.broadcast_to(k, tuple(lead) + (kv_len, d)).reshape(-1, kv_len, d)
-    v3 = jnp.broadcast_to(v, tuple(lead) + (kv_len, d)).reshape(-1, kv_len, d)
     interpret = jax.default_backend() != "tpu"
     if q.dtype == jnp.bfloat16 and block_q == DEFAULT_BLOCK_Q:
         block_q = _NOMAX_BLOCK_Q
     bq = min(block_q, max(128, nq))
     bk = min(block_k, max(128, kv_len))
-    out = _flash_3d(q3, k3, v3, float(scale), bq, bk, interpret)
-    return out.reshape(*lead, nq, d)
+
+    def _kernel_path(q, k, v):
+        q3 = q.reshape(-1, nq, d)
+        k3 = jnp.broadcast_to(k, tuple(lead) + (kv_len, d)).reshape(-1, kv_len, d)
+        v3 = jnp.broadcast_to(v, tuple(lead) + (kv_len, d)).reshape(-1, kv_len, d)
+        out = _flash_3d(q3, k3, v3, float(scale), bq, bk, interpret)
+        return out.reshape(*lead, nq, d)
+
+    def _oracle(q, k, v):
+        scores = jnp.einsum(
+            "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        return jnp.einsum("...qk,...kd->...qd", probs, v)
+
+    return kernel_with_xla_vjp(_kernel_path, _oracle)(q, k, v)

@@ -296,21 +296,41 @@ def fused_injection_attention(
     block_k: int = 1024,
 ) -> jnp.ndarray:
     """Softmax over [K_src*m, K_src*(1-m), K_tgt] with V [V_src, V_src, V_tgt]
-    without materializing the concatenation (see module docstring)."""
+    without materializing the concatenation (see module docstring).
+
+    Differentiable via the XLA concat oracle (ops/diffable.py)."""
+    from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
+
     b, f, h, nq, d = q.shape
     ns, nt = k_src.shape[-2], k_tgt.shape[-2]
-    q3 = q.reshape(-1, nq, d)
-    ks = k_src.reshape(-1, ns, d)
-    vs = v_src.reshape(-1, ns, d)
-    kt = k_tgt.reshape(-1, nt, d)
-    vt = v_tgt.reshape(-1, nt, d)
     bk = min(block_k, ns)
     while ns % bk != 0:
         bk //= 2
     bq = min(block_q, max(128, nq))
     interpret = jax.default_backend() != "tpu"
-    out = _fused_3d(
-        q3, ks, vs, mask.astype(jnp.float32), kt, vt,
-        float(scale), bq, bk, h, f, interpret,
+
+    def _kernel_path(q, k_src, v_src, mask, k_tgt, v_tgt):
+        out = _fused_3d(
+            q.reshape(-1, nq, d),
+            k_src.reshape(-1, ns, d),
+            v_src.reshape(-1, ns, d),
+            mask.astype(jnp.float32),
+            k_tgt.reshape(-1, nt, d),
+            v_tgt.reshape(-1, nt, d),
+            float(scale), bq, bk, h, f, interpret,
+        )
+        return out.reshape(b, f, h, nq, d)
+
+    def _oracle(q, k_src, v_src, mask, k_tgt, v_tgt):
+        m = mask.astype(k_src.dtype)[None, :, None, :, None]  # [1,F,1,Ns,1]
+        k_cat = jnp.concatenate([k_src * m, k_src * (1.0 - m), k_tgt], axis=-2)
+        v_cat = jnp.concatenate([v_src, v_src, v_tgt], axis=-2)
+        scores = jnp.einsum(
+            "...qd,...kd->...qk", q, k_cat, preferred_element_type=jnp.float32
+        ) * scale
+        probs = jax.nn.softmax(scores, axis=-1).astype(v_cat.dtype)
+        return jnp.einsum("...qk,...kd->...qd", probs, v_cat)
+
+    return kernel_with_xla_vjp(_kernel_path, _oracle)(
+        q, k_src, v_src, mask, k_tgt, v_tgt
     )
-    return out.reshape(b, f, h, nq, d)

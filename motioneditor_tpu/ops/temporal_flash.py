@@ -113,6 +113,31 @@ def temporal_flash_attention(
     causal: bool = True,
 ) -> jnp.ndarray:
     """Temporal attention over [B, F, N, C] without leaving the native token
-    layout (see module docstring). Returns [B, F, N, C]."""
+    layout (see module docstring). Returns [B, F, N, C].
+
+    Differentiable: under jax.grad the computation routes through the XLA
+    einsum oracle (ops/diffable.py) — pallas_call has no VJP."""
+    from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
+
     interpret = jax.default_backend() != "tpu"
-    return _temporal_4d(q, k, v, float(scale), heads, causal, interpret)
+
+    def _kernel_path(q, k, v):
+        return _temporal_4d(q, k, v, float(scale), heads, causal, interpret)
+
+    def _oracle(q, k, v):
+        b, f, n, c = q.shape
+        d = c // heads
+        q5 = q.reshape(b, f, n, heads, d)
+        k5 = k.reshape(b, f, n, heads, d)
+        v5 = v.reshape(b, f, n, heads, d)
+        s = jnp.einsum(
+            "bfnhd,bgnhd->bnhfg", q5, k5, preferred_element_type=jnp.float32
+        ) * scale
+        if causal:
+            mask = jnp.tril(jnp.ones((f, f), bool))
+            s = jnp.where(mask, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bnhfg,bgnhd->bfnhd", p, v5)
+        return out.reshape(b, f, n, c)
+
+    return kernel_with_xla_vjp(_kernel_path, _oracle)(q, k, v)
