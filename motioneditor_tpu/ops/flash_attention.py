@@ -238,11 +238,39 @@ def flash_attention(
         out = _flash_3d(q3, k3, v3, float(scale), bq, bk, interpret)
         return out.reshape(*lead, nq, d)
 
-    def _oracle(q, k, v):
+    def _attn(q, k, v):
         scores = jnp.einsum(
             "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
         ) * scale
         probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         return jnp.einsum("...qk,...kd->...qd", probs, v)
+
+    def _oracle(q, k, v):
+        # Chunk over the flattened lead dims with jax.checkpoint so the grad
+        # path holds at most one chunk's [G, nq, kv] fp32 score tile instead
+        # of the full batch*frames*heads set (OOMs at 512px under jax.grad).
+        lead_n = 1
+        for s in lead:
+            lead_n *= s
+        q3 = q.reshape(lead_n, nq, d)
+        k3 = jnp.broadcast_to(k, tuple(lead) + (kv_len, d)).reshape(
+            lead_n, kv_len, d
+        )
+        v3 = jnp.broadcast_to(v, tuple(lead) + (kv_len, d)).reshape(
+            lead_n, kv_len, d
+        )
+        g = 8
+        while lead_n % g:
+            g //= 2
+        ck = jax.checkpoint(_attn)
+        out = jax.lax.map(
+            lambda args: ck(*args),
+            (
+                q3.reshape(lead_n // g, g, nq, d),
+                k3.reshape(lead_n // g, g, kv_len, d),
+                v3.reshape(lead_n // g, g, kv_len, d),
+            ),
+        )
+        return out.reshape(*lead, nq, d)
 
     return kernel_with_xla_vjp(_kernel_path, _oracle)(q, k, v)

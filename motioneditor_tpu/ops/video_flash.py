@@ -49,11 +49,18 @@ BLOCK_K = 1024
 _MODES = ("normal", "sparse_causal", "motion_frame", "dense")
 
 
-def _pick_blocks(n: int, c: int, itemsize: int, kv_streams: int):
+def _pick_blocks(n: int, c: int, itemsize: int, kv_streams: int, heads: int = 8):
     """(block_q, block_k) fitting VMEM for a kernel with ``kv_streams``
     K/V-sized input streams (2 for plain attention, 4 for injection), or
     None if no candidate divides n. Budget: double-buffered in/out blocks +
-    fp32 acc/l scratch + one fp32 score tile, under ~12MB of the 16MB VMEM."""
+    fp32 acc/l scratch + live fp32 score tiles, under ~10MB of 16MB VMEM.
+
+    Live-tile counts are calibrated against measured Mosaic stack OOMs:
+    bf16 kernels keep ~2 (plain: s, p) / ~4 (injection src phase: s,
+    s_fg/s_bg, exp2 terms) tiles (16.05M actual at 512/1024 C=320 inj);
+    the fp32 running-max kernels keep temporaries from the whole unrolled
+    head loop alive (~1.6 tiles/head measured: 19.15M at 512/512 C=320
+    plain), so they budget per head."""
     for bq, bk in (
         (512, 1024), (512, 512), (256, 512), (256, 256), (128, 256), (128, 128)
     ):
@@ -61,10 +68,11 @@ def _pick_blocks(n: int, c: int, itemsize: int, kv_streams: int):
             continue
         io = itemsize * c * (2 * bq + kv_streams * bk) * 2
         scratch = 4 * c * bq + 2 * 4 * 128 * bq
-        # live fp32 score-tile temporaries: ~2 for the plain kernel (s, p),
-        # ~4 in the injection src phase (s, s_fg/s_bg, two exp2 terms) —
-        # calibrated against a measured 16.05M actual at 512/1024 C=320 inj
-        s_tiles = (4 if kv_streams >= 4 else 2) * 4 * bq * bk
+        if itemsize >= 4:
+            live = (3 if kv_streams >= 4 else 2) * heads
+        else:
+            live = 4 if kv_streams >= 4 else 2
+        s_tiles = live * 4 * bq * bk
         if io + scratch + s_tiles <= 10_000_000:
             return bq, bk
     return None
@@ -249,27 +257,57 @@ def video_flash_attention(
     from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
 
     b, f, n, c = q.shape
-    bq, bk = _pick_blocks(n, c, q.dtype.itemsize, kv_streams=2)
+    bq, bk = _pick_blocks(n, c, q.dtype.itemsize, kv_streams=2, heads=heads)
     interpret = jax.default_backend() != "tpu"
 
     def _kernel_path(q, k, v):
         return _video_flash(q, k, v, mode, float(scale), heads, bq, bk, interpret)
 
     def _oracle(q, k, v):
+        # Frame-chunked XLA attention: one frame's score matrix at a time
+        # (lax.map) with jax.checkpoint so the scan VJP recomputes instead of
+        # saving per-frame probabilities — this bounds the grad-path's
+        # transient HBM to one [B*H, n, kv] fp32 tile (a full-frames einsum
+        # OOMs at 512px: F x 1GB score tensors live simultaneously).
         from motioneditor_tpu.ops.attention import (
             merge_heads,
             sdpa,
-            select_kv,
             split_heads,
         )
 
-        ks = select_kv(k, mode)
-        vs = select_kv(v, mode)
-        out = sdpa(
-            split_heads(q, heads), split_heads(ks, heads), split_heads(vs, heads),
-            scale, use_flash=False,
-        )
-        return merge_heads(out)
+        bb, ff, nn, cc = q.shape
+
+        @jax.checkpoint
+        def frame_attn(qf, kf, vf):
+            out = sdpa(
+                split_heads(qf, heads), split_heads(kf, heads),
+                split_heads(vf, heads), scale, use_flash=False,
+            )
+            return merge_heads(out)
+
+        def body(fi):
+            qf = jnp.take(q, fi, axis=1)  # [B, n, C]
+            prev = jnp.maximum(fi - 1, 0)
+            if mode == "normal":
+                kf = jnp.take(k, fi, axis=1)
+                vf = jnp.take(v, fi, axis=1)
+            elif mode == "motion_frame":
+                kf = jnp.concatenate(
+                    [jnp.take(k, prev, axis=1), jnp.take(k, fi, axis=1)], axis=1
+                )
+                vf = jnp.concatenate(
+                    [jnp.take(v, prev, axis=1), jnp.take(v, fi, axis=1)], axis=1
+                )
+            elif mode == "sparse_causal":
+                kf = jnp.concatenate([k[:, 0], jnp.take(k, prev, axis=1)], axis=1)
+                vf = jnp.concatenate([v[:, 0], jnp.take(v, prev, axis=1)], axis=1)
+            else:  # dense
+                kf = k.reshape(bb, ff * nn, cc)
+                vf = v.reshape(bb, ff * nn, cc)
+            return frame_attn(qf, kf, vf)
+
+        out = jax.lax.map(body, jnp.arange(ff))  # [F, B, n, C]
+        return jnp.swapaxes(out, 0, 1)
 
     return kernel_with_xla_vjp(_kernel_path, _oracle)(q, k, v)
 
@@ -282,7 +320,9 @@ def video_flash_supported(
     return (
         c % heads == 0
         and (c // heads) % 8 == 0  # lane slices on sublane-aligned boundaries
-        and _pick_blocks(n, c, itemsize, kv_streams=4 if injection else 2)
+        and _pick_blocks(
+            n, c, itemsize, kv_streams=4 if injection else 2, heads=heads
+        )
         is not None
     )
 
@@ -542,7 +582,7 @@ def video_injection_attention(
     from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
 
     b, f, n, c = q_tgt.shape
-    bq, bk = _pick_blocks(n, c, q_tgt.dtype.itemsize, kv_streams=4)
+    bq, bk = _pick_blocks(n, c, q_tgt.dtype.itemsize, kv_streams=4, heads=heads)
     interpret = jax.default_backend() != "tpu"
 
     def _kernel_path(q_tgt, k_src, v_src, k_tgt, v_tgt, mask):

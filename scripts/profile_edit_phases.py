@@ -71,8 +71,8 @@ def main():
         print(f"{label:28s} {dt*1e3:9.1f} ms total  ({dt*1e3/steps:7.2f} ms/step)")
         return dt
 
-    enc = jax.jit(lambda p, v: vae_encode_video(p, vae_config, v))
-    dec = jax.jit(lambda p, l: vae_decode_video(p, vae_config, l))
+    enc = jax.jit(lambda p, v: vae_encode_video(p, v, sample=False, config=vae_config))
+    dec = jax.jit(lambda p, l: vae_decode_video(p, l, config=vae_config))
 
     out = enc(vae_params, video)
     float(jnp.sum(out))
@@ -86,7 +86,8 @@ def main():
 
     opt_fn = _jit_null_optimization(config, schedule, steps, 1, 1e-2, 7.5, True)
     all_lat = jnp.broadcast_to(lat[None], (steps + 1,) + lat.shape)
-    timeit("null-text opt (inner=1)", opt_fn, unet_params, all_lat, cond, cond, ts)
+    c32 = cond.astype(jnp.float32)
+    timeit("null-text opt (inner=1)", opt_fn, unet_params, all_lat.astype(jnp.float32), c32, c32, ts)
 
     t0 = time.perf_counter()
     out = dec(vae_params, lat)
