@@ -99,9 +99,43 @@ def case_dryrun():
     dryrun_multichip(8)
 
 
+def case_collectives():
+    """The frame-sharded forward's communication pattern: sparse-causal /
+    motion-frame K/V halos lower to collective-permute (NOT full gathers);
+    all-gathers appear only for the frame-global ops (temporal attention
+    K/V, temporal convs). Guards the SURVEY §2.8 headline design claim."""
+    import collections
+    import re
+
+    mesh = create_mesh((1, 4))
+    params = init_unet(jax.random.PRNGKey(0), TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 16, 16, 4))
+    enc = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16))
+    t = jnp.asarray(100)
+    xs = shard_video(x, mesh)
+    ps = shard_params(params, mesh)
+    with mesh:
+        f = jax.jit(lambda p, a: unet_apply(p, TINY, a, t, enc, use_flash=False))
+        hlo = f.lower(ps, xs).compile().as_text()
+
+    counts = collections.Counter()
+    for m in re.finditer(
+        r"= \S+ (collective-permute|all-gather|all-reduce|all-to-all)\(", hlo
+    ):
+        counts[m.group(1)] += 1
+    # halo exchanges must exist (sparse-causal/motion-frame neighbor reads)
+    assert counts["collective-permute"] > 0, counts
+    # the all-gather count must stay bounded by the frame-global op count
+    # (16 temporal-ish sites x a few tensors each) — a regression to
+    # "gather everything, compute replicated" would blow far past this
+    assert counts["all-gather"] <= 100, counts
+    print("collectives OK", dict(counts))
+
+
 if __name__ == "__main__":
     {
         "frame_sharded_forward": case_frame_sharded_forward,
         "train_step": case_train_step,
         "dryrun": case_dryrun,
+        "collectives": case_collectives,
     }[sys.argv[1]]()

@@ -39,3 +39,10 @@ def test_data_and_frame_sharded_train_step():
 def test_graft_entry_dryrun_multichip():
     out = _run("dryrun")
     assert "dryrun_multichip ok" in out
+
+
+def test_frame_sharded_collective_pattern():
+    """Halo reads lower to collective-permute; all-gathers stay bounded to
+    the frame-global ops (temporal attention/conv K/V)."""
+    out = _run("collectives")
+    assert "collectives OK" in out
