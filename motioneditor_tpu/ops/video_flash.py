@@ -257,7 +257,13 @@ def video_flash_attention(
     from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
 
     b, f, n, c = q.shape
-    bq, bk = _pick_blocks(n, c, q.dtype.itemsize, kv_streams=2, heads=heads)
+    blocks = _pick_blocks(n, c, q.dtype.itemsize, kv_streams=2, heads=heads)
+    if blocks is None:
+        raise ValueError(
+            f"video_flash_attention: no VMEM-feasible blocking for n={n}, "
+            f"c={c} — gate calls with video_flash_supported()"
+        )
+    bq, bk = blocks
     interpret = jax.default_backend() != "tpu"
 
     def _kernel_path(q, k, v):
@@ -582,7 +588,13 @@ def video_injection_attention(
     from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
 
     b, f, n, c = q_tgt.shape
-    bq, bk = _pick_blocks(n, c, q_tgt.dtype.itemsize, kv_streams=4, heads=heads)
+    blocks = _pick_blocks(n, c, q_tgt.dtype.itemsize, kv_streams=4, heads=heads)
+    if blocks is None:
+        raise ValueError(
+            f"video_injection_attention: no VMEM-feasible blocking for n={n}, "
+            f"c={c} — gate calls with video_flash_supported(injection=True)"
+        )
+    bq, bk = blocks
     interpret = jax.default_backend() != "tpu"
 
     def _kernel_path(q_tgt, k_src, v_src, k_tgt, v_tgt, mask):
