@@ -138,7 +138,22 @@ def _per_frame_cross_attention(params, q_tokens, kv_tokens, use_flash: bool):
     k = linear(params["to_k"], kv_tokens)
     v = linear(params["to_v"], kv_tokens)
     heads = ADAPTER_HEADS
-    scale = (q.shape[-1] // heads) ** -0.5
+    inner = q.shape[-1]
+    n = q.shape[-2]
+    scale = (inner // heads) ** -0.5
+
+    if use_flash and n >= 1024:
+        from motioneditor_tpu.ops.video_flash import (
+            video_flash_attention,
+            video_flash_supported,
+        )
+
+        if video_flash_supported(n, inner, heads, q.dtype.itemsize):
+            # packed-head kernel, mode=normal: each frame attends to the
+            # matching source frame with no head-split relayouts in HBM
+            out = video_flash_attention(q, k, v, "normal", scale, heads)
+            return linear(params["to_out"], out)
+
     out = sdpa(
         split_heads(q, heads),
         split_heads(k, heads),
