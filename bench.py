@@ -119,6 +119,10 @@ def main():
                 "vs_baseline": round(
                     BASELINE_MS_PER_STEP_PER_FRAME / ms_per_step_per_frame, 3
                 ),
+                # the baseline is a DERIVED estimate, not a measurement
+                # (BASELINE.md); flag it so vs_baseline isn't read as
+                # measured parity
+                "baseline": "derived-estimate 90 ms/step/frame (range 75-105)",
             }
         )
     )

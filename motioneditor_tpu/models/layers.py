@@ -154,6 +154,13 @@ def group_norm(params, x, num_groups: int = 32, eps: float = 1e-6):
     in the denoise loop. Instead we reduce over the spatial axes in the
     native channel-minor layout (per-channel sum/sumsq), collapse the tiny
     ``[B, C]`` result to groups, and normalize with one fused multiply-add.
+
+    Numerics note: the one-pass E[x^2] - E[x]^2 variance cancels when
+    |mean| >> std. With fp32 accumulation the relative variance error is
+    ~(mean/std)^2 * 2^-24, i.e. < 6e-4 for |mean|/std <= 100 — far beyond
+    any activation statistic seen in SD UNets (post-conv GN inputs have
+    |mean|/std < 10). tests/test_layers.py::test_group_norm_high_mean_stats
+    pins this bound against the centered two-pass formulation.
     """
     orig_dtype = x.dtype
     c = x.shape[-1]

@@ -77,13 +77,19 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, causal: bool, scale: floa
 
 
 def _pick_block_n(n: int, f: int, c: int, itemsize: int) -> int:
-    """Largest power-of-two bn dividing n with ~10MB total VMEM across the
-    4 double-buffered [F, bn, C] blocks."""
+    """Largest power-of-two bn that DIVIDES n, within ~10MB total VMEM across
+    the 4 double-buffered [F, bn, C] blocks. The grid is (b, n // bn), so a
+    non-dividing bn would silently leave the last n % bn tokens unwritten —
+    bn is halved until it divides (callers fall back to the XLA path when the
+    result degenerates below 8)."""
     budget = 10_000_000 // (8 * f * c * itemsize)
     bn = 8
     while bn * 2 <= min(n, max(8, budget)):
         bn *= 2
-    return min(bn, n)
+    bn = min(bn, n)
+    while bn > 1 and n % bn != 0:
+        bn //= 2
+    return bn
 
 
 @functools.partial(
@@ -120,6 +126,8 @@ def temporal_flash_attention(
     from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
 
     interpret = jax.default_backend() != "tpu"
+    b, f, n, c = q.shape
+    degenerate_blocking = _pick_block_n(n, f, c, q.dtype.itemsize) < 8
 
     def _kernel_path(q, k, v):
         return _temporal_4d(q, k, v, float(scale), heads, causal, interpret)
@@ -140,4 +148,8 @@ def temporal_flash_attention(
         out = jnp.einsum("bnhfg,bgnhd->bfnhd", p, v5)
         return out.reshape(b, f, n, c)
 
+    if degenerate_blocking:
+        # no lane-aligned bn divides n (e.g. odd spatial sizes) — the XLA
+        # transpose path is the correct fallback
+        return _oracle(q, k, v)
     return kernel_with_xla_vjp(_kernel_path, _oracle)(q, k, v)

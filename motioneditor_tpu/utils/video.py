@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 import os
 import os.path as osp
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -52,8 +53,8 @@ def save_videos_grid(
         with imageio.get_writer(mp4, fps=fps) as w:
             for fr in frames:
                 w.append_data(fr)
-    except Exception:
-        pass  # mp4 codec optional; GIF is the canonical artifact
+    except Exception as e:  # mp4 codec optional; GIF is the canonical artifact
+        warnings.warn(f"MP4 writer failed for {mp4} ({e!r}); GIF was written")
 
 
 def save_videos_as_images(

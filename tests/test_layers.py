@@ -54,6 +54,23 @@ def test_group_norm_matches_torch():
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_group_norm_high_mean_stats():
+    """The fused one-pass E[x^2]-E[x]^2 variance must stay within the
+    documented error bound vs the centered two-pass formulation even at
+    |mean|/std = 100 — 10x beyond realistic SD activation statistics."""
+    p = L.init_group_norm(8)
+    rs = np.random.RandomState(1)
+    for mean_scale in (10.0, 50.0, 100.0):
+        x = (rs.randn(2, 8, 8, 8) + mean_scale).astype(np.float32)
+        out = np.asarray(L.group_norm(p, jnp.asarray(x), num_groups=4))
+        # centered two-pass oracle in float64
+        xg = x.reshape(2, 64, 4, 2).astype(np.float64)
+        mu = xg.mean(axis=(1, 3), keepdims=True)
+        var = ((xg - mu) ** 2).mean(axis=(1, 3), keepdims=True)
+        ref = ((xg - mu) / np.sqrt(var + 1e-6)).reshape(2, 8, 8, 8)
+        np.testing.assert_allclose(out, ref, atol=5e-3)
+
+
 def test_group_norm_video_rank5():
     """GroupNorm on [B,F,H,W,C] must normalize per (batch,frame) to match the
     reference applying torch GroupNorm on (b f) c h w."""
