@@ -179,7 +179,8 @@ def controlnet_apply(
     for i, block in enumerate(params["down_blocks"]):
         btype = c.down_block_types[i]
         for j, rp in enumerate(block["resnets"]):
-            h = resnet_block(rp, h, temb, groups=c.norm_num_groups, eps=c.norm_eps)
+            h = resnet_block(rp, h, temb, groups=c.norm_num_groups, eps=c.norm_eps,
+                             per_frame_gn=True)
             if btype == "CrossAttnDownBlock2D":
                 h = transformer2d(
                     block["attentions"][j], h, ctx, layer_idx, NORMAL,
@@ -195,12 +196,14 @@ def controlnet_apply(
             res_samples.append(h)
 
     mb = params["mid_block"]
-    h = resnet_block(mb["resnets"][0], h, temb, groups=c.norm_num_groups, eps=c.norm_eps)
+    h = resnet_block(mb["resnets"][0], h, temb, groups=c.norm_num_groups,
+                     eps=c.norm_eps, per_frame_gn=True)
     h = transformer2d(
         mb["attentions"][0], h, ctx, layer_idx, NORMAL,
         groups=c.norm_num_groups, eps=c.transformer_norm_eps,
     )
-    h = resnet_block(mb["resnets"][1], h, temb, groups=c.norm_num_groups, eps=c.norm_eps)
+    h = resnet_block(mb["resnets"][1], h, temb, groups=c.norm_num_groups,
+                     eps=c.norm_eps, per_frame_gn=True)
 
     down_out = []
     for r, zc in zip(res_samples, params["controlnet_down_blocks"]):

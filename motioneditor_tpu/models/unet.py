@@ -252,10 +252,23 @@ def _gn(params, video, groups, eps):
     return x.reshape(b, f, h, w, ch)
 
 
-def resnet_block(params, video, temb, *, groups=32, eps=1e-5):
+def resnet_block(params, video, temb, *, groups=32, eps=1e-5,
+                 per_frame_gn: bool = False):
     """Video resnet (resnet_2d.py:199-249): zero-init temporal convs are
-    *residual* adds after each spatial conv; skipped when absent (2D mode)."""
-    h = _gn(params["norm1"], video, groups, eps)
+    *residual* adds after each spatial conv; skipped when absent (2D mode).
+
+    GroupNorm semantics: the reference applies torch GroupNorm to the 5D
+    [B, C, F, H, W] tensor (resnet_2d.py:160/176), so the stats pool over
+    (C/G, F, H, W) — ACROSS frames. ``group_norm`` on the [B, F, H, W, C]
+    video reduces all interior axes and matches exactly. ``per_frame_gn``
+    restores per-frame stats for the 2D per-frame ControlNet path (the
+    reference runs diffusers' 2D ControlNet on a (b f) batch)."""
+    def gn(p, x):
+        if per_frame_gn:
+            return _gn(p, x, groups, eps)
+        return group_norm(p, x, groups, eps)
+
+    h = gn(params["norm1"], video)
     h = silu(h)
     h = inflated_conv3d(params["conv1"], h, padding=1)
     if "temp_conv1" in params:
@@ -263,7 +276,7 @@ def resnet_block(params, video, temb, *, groups=32, eps=1e-5):
     if temb is not None and "time_emb_proj" in params:
         t = linear(params["time_emb_proj"], silu(temb))  # [B, C]
         h = h + t[:, None, None, None, :]
-    h = _gn(params["norm2"], h, groups, eps)
+    h = gn(params["norm2"], h)
     h = silu(h)
     h = inflated_conv3d(params["conv2"], h, padding=1)
     if "temp_conv2" in params:
@@ -524,7 +537,8 @@ def unet_apply(
             h = upsample_nearest_2x(h)
             h = inflated_conv3d(block["upsamplers"][0], h, padding=1)
 
-    h = _gn(params["conv_norm_out"], h, c.norm_num_groups, c.norm_eps)
+    # final GN is also across-frame 5D GroupNorm (unet_2d_condition.py:288/539)
+    h = group_norm(params["conv_norm_out"], h, c.norm_num_groups, c.norm_eps)
     h = silu(h)
     h = inflated_conv3d(params["conv_out"], h, padding=1)
     return h

@@ -24,6 +24,8 @@ from motioneditor_tpu.models.clip_text import (
     tokenize,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
+
 TINY = UNetConfig(
     block_out_channels=(32, 64, 64, 64),
     norm_num_groups=8,
@@ -54,33 +56,39 @@ def test_unet_forward_shape(tiny_unet):
 
 
 def test_unet_zero_init_video_equals_per_frame(tiny_unet):
-    """Zero-init temporal modules + normal_infer must make the video UNet an
-    exact per-frame 2D SD UNet (the inflation invariant the reference relies
-    on: resnet_2d.py:15-16, attention_2d.py:462)."""
-    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 16, 16, 4))
+    """Zero-init temporal modules + normal_infer make the video UNet an exact
+    per-frame 2D SD UNet on *identical* frames (resnet_2d.py:15-16,
+    attention_2d.py:462). The reference's resnet GroupNorm pools stats across
+    frames (torch GN on [B,C,F,H,W], resnet_2d.py:160/176), so the per-frame
+    equality only holds when every frame is the same — with identical frames
+    the pooled stats equal the per-frame stats."""
+    frame = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 16, 16, 4))
+    x = jnp.broadcast_to(frame, (1, 3, 16, 16, 4))
     enc = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16))
     t = jnp.asarray(500)
     out_video = unet_apply(tiny_unet, TINY, x, t, enc, normal_infer=True, use_flash=False)
+    out_f = unet_apply(tiny_unet, TINY, frame, t, enc, normal_infer=True, use_flash=False)
     for f in range(3):
-        out_f = unet_apply(
-            tiny_unet, TINY, x[:, f : f + 1], t, enc, normal_infer=True, use_flash=False
-        )
         np.testing.assert_allclose(
             np.asarray(out_video[:, f]), np.asarray(out_f[:, 0]), atol=2e-4
         )
 
 
 def test_unet_motion_frame_differs_after_frame0(tiny_unet):
-    """MOTION_FRAME attn1 must equal NORMAL on frame 0 (K/V duplication) and
-    differ on later frames."""
-    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 16, 16, 4))
+    """MOTION_FRAME attn1 equals NORMAL on identical frames (duplicated K/V
+    renormalizes to the same probabilities) and differs on distinct frames."""
+    frame = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 16, 16, 4))
+    same = jnp.broadcast_to(frame, (1, 3, 16, 16, 4))
     enc = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16))
     t = jnp.asarray(500)
+    out_mf_same = unet_apply(tiny_unet, TINY, same, t, enc, normal_infer=False, use_flash=False)
+    out_n_same = unet_apply(tiny_unet, TINY, same, t, enc, normal_infer=True, use_flash=False)
+    np.testing.assert_allclose(
+        np.asarray(out_mf_same), np.asarray(out_n_same), atol=2e-4
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 16, 16, 4))
     out_mf = unet_apply(tiny_unet, TINY, x, t, enc, normal_infer=False, use_flash=False)
     out_n = unet_apply(tiny_unet, TINY, x, t, enc, normal_infer=True, use_flash=False)
-    np.testing.assert_allclose(
-        np.asarray(out_mf[:, 0]), np.asarray(out_n[:, 0]), atol=2e-4
-    )
     assert not np.allclose(np.asarray(out_mf[:, 1]), np.asarray(out_n[:, 1]), atol=1e-3)
 
 
