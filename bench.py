@@ -95,10 +95,11 @@ def main():
     dummy_uncond = jnp.zeros((STEPS, 1, 1, 1), dtype)
 
     def run(latents):
-        return seg_fn(
+        out, _ = seg_fn(
             unet_params, cn_params, latents, all_ts[4 : 4 + STEPS],
-            cond, uncond, dummy_uncond, cond_emb, masks,
+            cond, uncond, dummy_uncond, cond_emb, masks, jnp.zeros(()),
         )
+        return out
 
     out = run(lat)  # compile + warmup
     float(jnp.sum(out))  # d2h read: block_until_ready under-reports on axon

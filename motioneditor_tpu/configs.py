@@ -52,6 +52,15 @@ class ValidationDataConfig:
     null_normal_infer: bool = True
     controlnet_conditioning_scale: float = 1.0
     noise_level: int = 0
+    # prompt-to-prompt editing (the prepare_control surface,
+    # inference.py:74-99; dead-by-default in the reference too)
+    use_p2p: bool = False
+    p2p_cross_replace_steps: float = 0.8
+    p2p_self_replace_steps: float = 0.4
+    p2p_blend_words: Tuple[str, ...] = ()  # enables LocalBlend when non-empty
+    p2p_blend_threshold: float = 0.3
+    p2p_eq_words: Tuple[str, ...] = ()  # enables AttentionReweight
+    p2p_eq_values: Tuple[float, ...] = ()
 
 
 @dataclasses.dataclass

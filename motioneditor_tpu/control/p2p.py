@@ -68,13 +68,16 @@ def get_time_words_attention_alpha(
     ).astype(np.float32)
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class P2PController:
     """Static p2p spec. kind: "replace" | "refine" | "reweight".
 
     mapper / alphas from seq_aligner; cross_alpha the per-step word gate;
     self_replace_until the step bound for self-attn map replacement
-    (p2p_stable.py:141-147/150-163)."""
+    (p2p_stable.py:141-147/150-163).
+
+    ``eq=False``: identity hash so a controller can close over jitted
+    programs as a static argument (arrays aren't hashable)."""
 
     kind: str
     num_steps: int
@@ -95,8 +98,10 @@ class P2PController:
             base_replace = jnp.take(attn_base, jnp.maximum(mapper, 0), axis=-1)
             return base_replace * alphas + attn_edit * (1 - alphas)
         if self.kind == "reweight":
+            # reweight scales the BASE branch's map (p2p_stable.py:203-206:
+            # attn_base[None] * equalizer), not the edit branch's
             eq = jnp.asarray(self.equalizer[edit_idx])
-            return attn_edit * eq
+            return attn_base * eq
         raise ValueError(self.kind)
 
     def edit_cross_probs(self, probs_base, probs_edit, step: int, edit_idx: int = 0):
@@ -111,8 +116,41 @@ class P2PController:
             return jnp.broadcast_to(probs_base, probs_edit.shape)
         return probs_edit
 
+    def prob_editor(self, step, edit_idx: int = 0):
+        """Build the traced (probs, is_cross) -> probs editor for one denoise
+        step (``step`` may be a traced scalar — usable inside ``lax.scan``).
 
-@dataclasses.dataclass(frozen=True)
+        probs: [4, F, H, Q, KV], rows [recon_u, edit_u, recon_c, edit_c].
+        Edits apply to the conditional half only — base = row 2, edit = row 3
+        — matching AttentionControl.__call__ with LOW_RESOURCE=False
+        (p2p_stable.py:63-71). Self-attn replacement only at Q <= 16^2
+        (p2p_stable.py:135-139) inside the [0, self_replace_until) window.
+        """
+        cross_alpha = jnp.asarray(self.cross_alpha[:, edit_idx])  # [T+1,1,1,77]
+        self_gate = jnp.asarray(
+            (np.arange(self.num_steps) < self.self_replace_until).astype(np.float32)
+        )
+
+        def editor(probs, is_cross: bool):
+            assert probs.shape[0] == 4, "p2p editing requires the batch-4 rows"
+            base, edit = probs[2], probs[3]
+            if is_cross:
+                alpha = jax.lax.dynamic_index_in_dim(
+                    cross_alpha, step, 0, keepdims=False
+                ).astype(probs.dtype)
+                replaced = self.replace_cross_attention(base, edit, edit_idx)
+                new_edit = alpha * replaced + (1.0 - alpha) * edit
+            else:
+                if probs.shape[-2] > 256:
+                    return probs
+                g = self_gate[step].astype(probs.dtype)
+                new_edit = g * base + (1.0 - g) * edit
+            return jnp.stack([probs[0], probs[1], base, new_edit], axis=0)
+
+        return editor
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
 class LocalBlend:
     """Word-localized latent blending (p2p_stable.py:20-44).
 

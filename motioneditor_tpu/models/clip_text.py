@@ -140,12 +140,25 @@ class StubTokenizer:
     bos_token_id = 49406
     eos_token_id = 49407
 
+    def __init__(self):
+        self._inv = {self.bos_token_id: "", self.eos_token_id: ""}
+
     def encode(self, text: str) -> List[int]:
         words = [w for w in text.lower().strip().split(" ") if w]
         ids = [self.bos_token_id]
-        ids += [(hash(w) % 49000) + 320 for w in words]
+        for w in words:
+            wid = (hash(w) % 49000) + 320
+            self._inv[wid] = w
+            ids.append(wid)
         ids.append(self.eos_token_id)
         return ids
+
+    def decode(self, ids) -> str:
+        """Inverse of encode for ids seen by this instance — enough for the
+        p2p get_word_inds/seq_aligner surface (ptp_utils.py:281-299)."""
+        if isinstance(ids, int):
+            ids = [ids]
+        return "".join(self._inv.get(int(i), "?") for i in ids)
 
     def __call__(self, texts, max_length=77, padding="max_length", truncation=True,
                  return_tensors=None, **kw):

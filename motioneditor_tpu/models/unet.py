@@ -301,6 +301,11 @@ class AttnContext:
     # python list mutated during the single trace (layers later in the
     # forward consume maps produced by earlier layers, fully_control.py:293)
     cross_maps: Optional[list] = None
+    # p2p probability editor (ptp_utils.py:226): applied to attn2 probs at
+    # every block and to attn1 probs only in NORMAL mode — the reference
+    # registrar patches modules of class CrossAttention only
+    # (ptp_utils.py:255-258), which attn1 is iff neither sc nor st attention
+    prob_editor: Optional[object] = None
 
 
 def basic_transformer_block(
@@ -331,7 +336,8 @@ def basic_transformer_block(
             )
     else:
         attn1_out = spatial_self_attention(
-            params["attn1"], h, attn1_mode, ctx.heads, use_flash=ctx.use_flash
+            params["attn1"], h, attn1_mode, ctx.heads, use_flash=ctx.use_flash,
+            prob_editor=ctx.prob_editor if attn1_mode == NORMAL else None,
         )
     tokens = tokens + attn1_out
 
@@ -346,6 +352,7 @@ def basic_transformer_block(
     tokens = tokens + cross_attention(
         params["attn2"], h, ctx.encoder_hidden_states, ctx.heads,
         collect_maps_into=ctx.cross_maps if collect else None,
+        prob_editor=ctx.prob_editor,
     )
 
     tokens = tokens + feed_forward(params["ff"], layer_norm(params["norm3"], tokens))
@@ -394,6 +401,7 @@ def unet_apply(
     mid_block_additional_residual: Optional[jnp.ndarray] = None,
     use_flash: bool = True,
     remat: bool = False,
+    prob_editor=None,
     _cross_maps_out: Optional[list] = None,
 ) -> jnp.ndarray:
     """Full UNet forward (unet_2d_condition.py:363-546).
@@ -423,6 +431,7 @@ def unet_apply(
         injection=injection,
         injection_masks=injection_masks,
         use_flash=use_flash,
+        prob_editor=prob_editor,
         cross_maps=_cross_maps_out
         if _cross_maps_out is not None
         else (

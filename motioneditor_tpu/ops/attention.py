@@ -146,6 +146,7 @@ def spatial_self_attention(
     mode: str,
     heads: int,
     use_flash: bool = True,
+    prob_editor=None,
 ) -> jnp.ndarray:
     """Video self-attention with per-frame K/V selection.
 
@@ -153,6 +154,10 @@ def spatial_self_attention(
     ``mode``. This covers CrossAttention/SparseCausalAttention/
     MotionFrameAttention/SpatialTemporalAttention (normal_infer toggles map
     to mode=NORMAL).
+
+    ``prob_editor``: optional (probs, is_cross=False) -> probs hook — the
+    p2p self-attn map replacement (p2p_stable.py:135-139, applied only at
+    Q <= 16^2 so the big resolutions keep the fused kernel path).
     """
     b, f, n, c = x.shape
     q = linear(params["to_q"], x)
@@ -161,6 +166,17 @@ def spatial_self_attention(
     inner = q.shape[-1]
     dim_head = inner // heads
     scale = dim_head**-0.5
+
+    if prob_editor is not None and n <= 256:
+        kk = select_kv(k, mode)
+        vv = select_kv(v, mode)
+        qh = split_heads(q, heads)
+        kh = split_heads(kk, heads)
+        vh = split_heads(vv, heads)
+        probs = attention_probs(qh, kh, scale)  # [B, F, H, N, KV]
+        probs = prob_editor(probs, False)
+        out = jnp.einsum("...qk,...kd->...qd", probs.astype(vh.dtype), vh)
+        return linear(params["to_out"], merge_heads(out))
 
     if use_flash and n >= _FLASH_MIN_Q:
         from motioneditor_tpu.ops.video_flash import (
@@ -190,13 +206,20 @@ def cross_attention(
     heads: int,
     use_flash: bool = False,
     collect_maps_into: Optional[list] = None,
+    prob_editor=None,
 ) -> jnp.ndarray:
     """Text cross-attention. x: [B, F, N, C]; encoder_states: [B, L, D_text]
     (repeated per frame, attention_2d.py:343).
 
     ``collect_maps_into``: when given, appends the mean-over-heads attention
     probabilities [(B F), N, L] — the cross-attn map collection the MaskAuto
-    editor consumes (fully_control.py:430-432)."""
+    editor consumes (fully_control.py:430-432).
+
+    ``prob_editor``: optional (probs, is_cross=True) -> probs hook over the
+    [B, F, H, N, L] softmax probabilities — the p2p controller intercept
+    (ptp_utils.py:226). Maps are collected PRE-edit, matching the reference
+    (AttentionControlEdit.forward stores via super() before editing,
+    p2p_stable.py:146-148)."""
     b, f, n, c = x.shape
     q = linear(params["to_q"], x)
     k = linear(params["to_k"], encoder_states)  # [B, L, C]
@@ -208,11 +231,14 @@ def cross_attention(
     vh = split_heads(v, heads)[:, None]
     kb = jnp.broadcast_to(kh, (b, f) + kh.shape[2:])
     vb = jnp.broadcast_to(vh, (b, f) + vh.shape[2:])
-    if collect_maps_into is not None:
+    if collect_maps_into is not None or prob_editor is not None:
         probs = attention_probs(qh, kb, scale)  # [B, F, H, N, L]
-        collect_maps_into.append(
-            probs.mean(axis=2).reshape(b * f, n, probs.shape[-1])
-        )
+        if collect_maps_into is not None:
+            collect_maps_into.append(
+                probs.mean(axis=2).reshape(b * f, n, probs.shape[-1])
+            )
+        if prob_editor is not None:
+            probs = prob_editor(probs, True)
         out = jnp.einsum("bfhqk,bfhkd->bfhqd", probs.astype(vb.dtype), vb)
     else:
         out = sdpa(qh, kb, vb, scale, use_flash=use_flash)

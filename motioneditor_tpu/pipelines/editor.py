@@ -165,6 +165,8 @@ class MotionEditorPipeline:
         controlnet_conditioning_scale: float = 1.0,
         start_step: int = 4,
         start_layer: int = 10,
+        p2p_controller=None,
+        local_blend=None,
         decode: bool = True,
     ):
         """Two-branch edit (pipeline __call__ :505-666 + editor registration
@@ -179,6 +181,13 @@ class MotionEditorPipeline:
                  decomposition (None disables mask injection)
         uncond_embeddings: optional per-step null embeddings
                  [num_steps, 1, 77, 768]
+        p2p_controller: optional control.p2p.P2PController — prompt-to-prompt
+                 cross-attention prob editing on the conditional rows
+                 (prepare_control, inference.py:74-99)
+        local_blend: optional control.p2p.LocalBlend — word-localized latent
+                 blending applied after each DDIM step using the running sum
+                 of 16x16 cross-attn maps (the functional AttentionStore,
+                 p2p_stable.py:20-44/130-133)
         Returns video [2, F, H, W, 3] in [0,1]: [reconstruction, edit].
         """
         assert len(prompts) == 2
@@ -218,6 +227,20 @@ class MotionEditorPipeline:
             self.controlnet_params, cond_image
         )
 
+        # LocalBlend needs the running 16x16 cross-attn map sum in the scan
+        # carry; its leading dim is the number of 256-token attention sites
+        maps_sum = jnp.zeros((), jnp.float32)
+        if local_blend is not None:
+            n_sites = _count_16x16_sites(latents.shape[2], latents.shape[3])
+            if n_sites == 0:
+                raise ValueError(
+                    "LocalBlend requires a 16x16 attention resolution; latent "
+                    f"shape {latents.shape[2:4]} never reaches 256 tokens"
+                )
+            maps_sum = jnp.zeros(
+                (n_sites, 4 * f, 256, cond.shape[-2]), jnp.float32
+            )
+
         lat = latents
         for (lo, hi, injected) in segments:
             seg_fn = _jit_denoise_segment(
@@ -230,13 +253,16 @@ class MotionEditorPipeline:
                 controlnet_conditioning_scale,
                 self.use_flash,
                 per_step_uncond is not None,
+                p2p_controller,
+                local_blend,
+                lo if (p2p_controller is not None or local_blend is not None) else 0,
             )
             seg_uncond = (
                 per_step_uncond[lo:hi]
                 if per_step_uncond is not None
                 else jnp.zeros((hi - lo, 1, 1, 1))
             )
-            lat = seg_fn(
+            lat, maps_sum = seg_fn(
                 self.unet_params,
                 self.controlnet_params,
                 lat,
@@ -246,6 +272,7 @@ class MotionEditorPipeline:
                 seg_uncond,
                 cond_embedding,
                 masks,
+                maps_sum,
             )
         if decode:
             return self.decode_latents(lat)
@@ -339,6 +366,23 @@ def _jit_null_optimization(
     return jax.jit(run)
 
 
+def _count_16x16_sites(h0: int, w0: int) -> int:
+    """Number of transformer blocks whose token count is 256 (the 16x16
+    cross-attn map collection sites) for a latent of (h0, w0). For SD-1.5
+    at 64x64 latents these are down_cross[2:4] + up_cross[:3] — exactly the
+    maps the reference LocalBlend consumes (p2p_stable.py:23)."""
+    n = 0
+    for i in range(3):  # down blocks 0-2 (2 attn sites each)
+        if (h0 >> i) * (w0 >> i) == 256:
+            n += 2
+    if (h0 >> 3) * (w0 >> 3) == 256:  # mid
+        n += 1
+    for r in (2, 1, 0):  # up blocks 1-3 (3 attn sites each)
+        if (h0 >> r) * (w0 >> r) == 256:
+            n += 3
+    return n
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_denoise_segment(
     unet_config,
@@ -350,9 +394,16 @@ def _jit_denoise_segment(
     controlnet_scale,
     use_flash,
     has_per_step_uncond,
+    p2p_controller=None,
+    local_blend=None,
+    seg_lo=0,
 ):
     """One contiguous timestep range of the two-branch denoise loop
-    (pipeline:603-654) with static injection gating."""
+    (pipeline:603-654) with static injection gating.
+
+    ``p2p_controller`` / ``local_blend`` are identity-hashed static closures
+    (control/p2p.py); ``seg_lo`` is the segment's global start step so the
+    p2p per-step schedules index correctly inside the scan."""
 
     def run(
         unet_params,
@@ -364,10 +415,12 @@ def _jit_denoise_segment(
         seg_uncond,
         cond_embedding,
         masks,
+        maps_sum,
     ):
         f = latents.shape[1]
 
-        def body(lat, idx):
+        def body(carry, idx):
+            lat, maps_acc = carry
             t = seg_ts[idx]
             # [recon, edit] -> batch-4 [ru, eu, rc, ec]
             latent_in = jnp.concatenate([lat, lat], axis=0)
@@ -397,25 +450,46 @@ def _jit_denoise_segment(
                 [zero_mid, mid_res[:1], zero_mid, mid_res[1:2]], axis=0
             )
 
-            eps = unet_apply(
-                unet_params,
-                unet_config,
-                latent_in,
-                t,
-                text_in,
+            editor = (
+                p2p_controller.prob_editor(seg_lo + idx)
+                if p2p_controller is not None
+                else None
+            )
+            unet_kwargs = dict(
                 injection=injection_spec,
                 injection_masks=masks,
                 down_block_additional_residuals=down_res,
                 mid_block_additional_residual=mid4,
                 use_flash=use_flash,
+                prob_editor=editor,
             )
+            if local_blend is not None:
+                step_maps: list = []
+                eps = unet_apply(
+                    unet_params, unet_config, latent_in, t, text_in,
+                    _cross_maps_out=step_maps, **unet_kwargs,
+                )
+                # functional AttentionStore: running sum over steps
+                # (p2p_stable.py:105-110 between_steps)
+                maps_acc = maps_acc + jnp.stack(step_maps, axis=0)
+            else:
+                eps = unet_apply(
+                    unet_params, unet_config, latent_in, t, text_in, **unet_kwargs
+                )
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
             eps_g = eps_u + guidance_scale * (eps_c - eps_u)
             lat_next = ddim_step(schedule, eps_g, t, lat, num_steps)
-            return lat_next, None
+            if local_blend is not None:
+                # step_callback after the scheduler step (ptp_utils.py:56-60);
+                # maps restricted to the conditional rows [rc, ec] — the
+                # store only ever sees the cond half (p2p_stable.py:69-70)
+                lat_next = local_blend(lat_next, list(maps_acc[:, 2 * f :]))
+            return (lat_next, maps_acc), None
 
-        final, _ = jax.lax.scan(body, latents, jnp.arange(seg_ts.shape[0]))
-        return final
+        (final, maps_out), _ = jax.lax.scan(
+            body, (latents, maps_sum), jnp.arange(seg_ts.shape[0])
+        )
+        return final, maps_out
 
     # masks is a dict keyed by (h, w) — mark it static-friendly by closing
     # over pytree structure; jit handles dict pytrees natively.

@@ -157,6 +157,31 @@ def main(config_path: str):
 
     for prompt in vd.prompts:
         prompts = [ds.prompt, prompt]
+        # prepare_control equivalent (inference.py:74-99): Replace vs Refine
+        # chosen by word-count match; Reweight when an equalizer is given;
+        # LocalBlend from blend words
+        p2p_controller = local_blend = None
+        if vd.use_p2p:
+            from motioneditor_tpu.control.p2p import make_controller, make_local_blend
+
+            p2p_controller = make_controller(
+                prompts,
+                pipe.tokenizer,
+                vd.num_inference_steps,
+                cross_replace_steps=vd.p2p_cross_replace_steps,
+                self_replace_steps=vd.p2p_self_replace_steps,
+                equalizer_words=list(vd.p2p_eq_words) or None,
+                equalizer_values=list(vd.p2p_eq_values) or None,
+            )
+            if vd.p2p_blend_words:
+                local_blend = make_local_blend(
+                    prompts,
+                    [list(vd.p2p_blend_words)] * 2,
+                    pipe.tokenizer,
+                    threshold=vd.p2p_blend_threshold,
+                )
+            print(f"p2p control: {p2p_controller.kind}"
+                  + (" + LocalBlend" if local_blend else ""))
         sample = pipe(
             prompts,
             seed_latents,
@@ -166,6 +191,8 @@ def main(config_path: str):
             num_inference_steps=vd.num_inference_steps,
             guidance_scale=vd.guidance_scale,
             controlnet_conditioning_scale=vd.controlnet_conditioning_scale,
+            p2p_controller=p2p_controller,
+            local_blend=local_blend,
         )
         sample = np.asarray(sample)
         sample_inv, sample_gen = sample[:1], sample[1:]

@@ -82,10 +82,11 @@ def main():
     dummy_uncond = jnp.zeros((args.steps, 1, 1, 1), dtype)
 
     def run(latents):
-        return seg_fn(
+        out, _ = seg_fn(
             unet_params, cn_params, latents, all_ts[4 : 4 + args.steps],
-            cond, uncond, dummy_uncond, cond_emb, masks,
+            cond, uncond, dummy_uncond, cond_emb, masks, jnp.zeros(()),
         )
+        return out
 
     out = run(lat)  # compile + warmup
     float(jnp.sum(out))
