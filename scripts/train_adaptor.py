@@ -92,7 +92,9 @@ def main(config_path: str):
     step = int(state.step)
     t0 = time.time()
     while step < cfg.max_train_steps:
-        rng, srng = jax.random.split(rng)
+        # step-indexed rng: resume draws the same noise as an uninterrupted
+        # run (see scripts/train_bg.py and train_bg.py:279-293 skip semantics)
+        srng = jax.random.fold_in(rng, step)
         state, metrics = train_step_stage2(
             state, pipe.controlnet_params, latents, source_skel, enc, srng,
             unet_config=pipe.unet_config, controlnet_config=pipe.controlnet_config,

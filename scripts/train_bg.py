@@ -85,7 +85,11 @@ def main(config_path: str):
     step = int(state.step)
     t0 = time.time()
     while step < cfg.max_train_steps:
-        rng, srng = jax.random.split(rng)
+        # Per-step rng derived from the step index, not a sequentially split
+        # stream: a resumed run at step N then draws the same noise/timesteps
+        # as the uninterrupted run would at step N (reference semantics:
+        # train_bg.py:279-293 skips consumed dataloader steps on resume).
+        srng = jax.random.fold_in(rng, step)
         state, metrics = train_step_stage1(
             state, latents, enc, srng,
             unet_config=pipe.unet_config, schedule=schedule, optimizer=optimizer,

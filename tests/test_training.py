@@ -20,6 +20,8 @@ from motioneditor_tpu.training.stage2 import (
     train_step_stage2,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
+
 TINY = UNetConfig(
     block_out_channels=(32, 64, 64, 64),
     norm_num_groups=8,
@@ -114,6 +116,59 @@ def test_stage2_step_updates_only_adapter(setup):
     np.testing.assert_array_equal(
         np.asarray(full["conv_in"]["kernel"]), np.asarray(params["conv_in"]["kernel"])
     )
+
+
+def test_resume_continues_loss_trajectory(tmp_path, setup):
+    """Train N steps, checkpoint, restore, continue M steps: the losses of
+    steps N..N+M must match an uninterrupted N+M run exactly (reference
+    resume semantics: train_bg.py:279-293 restores global_step and skips
+    consumed data, so the resumed trajectory is the uninterrupted one).
+
+    Uses the same step-indexed rng derivation as scripts/train_bg.py
+    (jax.random.fold_in(base, step))."""
+    from motioneditor_tpu.training.checkpoint import (
+        latest_checkpoint,
+        restore_train_state,
+        save_train_state,
+    )
+
+    params, optimizer = setup
+    latents = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 8, 4)) * 0.2
+    enc = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16))
+    base_rng = jax.random.PRNGKey(0)
+    N, M = 2, 2
+
+    def run(state, start, stop, ckpt_at=None):
+        losses = []
+        for step in range(start, stop):
+            srng = jax.random.fold_in(base_rng, step)
+            state, m = train_step_stage1(
+                state, latents, enc, srng,
+                unet_config=TINY, schedule=DiffusionSchedule(),
+                optimizer=optimizer, use_flash=False,
+            )
+            losses.append(float(m["loss"]))  # train_step already advanced state.step
+            if ckpt_at is not None and step + 1 == ckpt_at:
+                save_train_state(str(tmp_path), step + 1, state)
+        return state, losses
+
+    # uninterrupted N+M steps
+    _, ref_losses = run(
+        make_train_state(_fresh(params), list(TRAINABLE_MODULES), optimizer),
+        0, N + M,
+    )
+    # interrupted: N steps + checkpoint, then restore into a FRESH state
+    run(
+        make_train_state(_fresh(params), list(TRAINABLE_MODULES), optimizer),
+        0, N, ckpt_at=N,
+    )
+    found = latest_checkpoint(str(tmp_path))
+    assert found is not None and found[1] == N
+    fresh = make_train_state(_fresh(params), list(TRAINABLE_MODULES), optimizer)
+    restored = restore_train_state(found[0], fresh)
+    assert restored.step == N
+    _, resumed_losses = run(restored, restored.step, N + M)
+    np.testing.assert_allclose(resumed_losses, ref_losses[N:], rtol=1e-5)
 
 
 def test_checkpoint_roundtrip(tmp_path, setup):
