@@ -6,6 +6,8 @@ import pytest
 from motioneditor_tpu.ops.attention import sdpa
 from motioneditor_tpu.ops.flash_attention import flash_attention
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
+
 
 @pytest.mark.parametrize(
     "nq,nk,d",

@@ -6,6 +6,9 @@ from motioneditor_tpu.control.injection import injected_spatial_attention
 from motioneditor_tpu.ops.attention import MOTION_FRAME, init_attention, select_kv, split_heads
 from motioneditor_tpu.models.layers import linear
 from motioneditor_tpu.ops.injection_flash import fused_injection_attention
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
 
 
 def _reference_concat(q, ks, vs, mask, kt, vt, scale):

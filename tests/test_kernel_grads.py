@@ -7,12 +7,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from motioneditor_tpu.ops.attention import (
     MOTION_FRAME,
     init_attention,
     spatial_self_attention,
     temporal_self_attention_video,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
 
 
 def _grad_check(loss_kernel, loss_oracle, args):

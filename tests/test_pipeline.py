@@ -16,6 +16,8 @@ from motioneditor_tpu.models.vae import VAEConfig, init_vae
 from motioneditor_tpu.pipelines.editor import MotionEditorPipeline
 from motioneditor_tpu.schedulers import DiffusionSchedule
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
+
 TINY_UNET = UNetConfig(
     block_out_channels=(32, 64, 64, 64),
     norm_num_groups=8,

@@ -11,6 +11,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
+
 RUNNER = osp.join(osp.dirname(osp.abspath(__file__)), "sharding_runner.py")
 
 

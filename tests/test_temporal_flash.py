@@ -12,6 +12,8 @@ from motioneditor_tpu.ops.attention import (
 )
 from motioneditor_tpu.ops.temporal_flash import temporal_flash_attention
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
+
 
 def _rand(key, shape, dtype):
     return jax.random.normal(key, shape, dtype)

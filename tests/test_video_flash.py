@@ -20,6 +20,8 @@ from motioneditor_tpu.ops.video_flash import (
     video_flash_supported,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
+
 
 def _oracle(q, k, v, mode, scale, heads):
     ks = select_kv(k, mode)
