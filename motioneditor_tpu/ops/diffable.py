@@ -9,9 +9,10 @@ UNet). ``kernel_with_xla_vjp`` builds a function that
   - transparently switches the whole computation (primal AND gradient) to a
     mathematically-equivalent XLA oracle under ``jax.grad``/``jax.vjp``.
 
-The XLA oracle materializes the score matrices, so full-resolution training
-costs the memory the reference pays without xformers' fused backward; a
-flash backward kernel is the future upgrade path (PERF.md roadmap).
+This is the FALLBACK autodiff path: the spatial video attention now carries
+a fully-fused flash backward (ops/video_flash_bwd.py) and only routes here
+for dense mode, VMEM-infeasible blockings, and the temporal/injection
+kernels (whose score matrices are small or inference-only).
 """
 
 from __future__ import annotations

@@ -9,8 +9,11 @@ predicted sampling locations, combined by attention weights.
 
 This is host-side preprocessing in the TPU design (mask extraction), so a
 fused-XLA implementation is the faithful equivalent; gathers lower to
-efficient dynamic-slices on TPU. Used by the prep/ mask pipeline when a
-GroundingDINO port is loaded.
+efficient dynamic-slices on TPU. Library status: oracle-tested against the
+reference's PyTorch fallback (tests/test_prep.py); the shipped mask CLI
+(prep/masks.py) currently delegates to the external HF GroundingDINO stack,
+so nothing in-repo calls this yet — it is the kernel a first-party
+GroundingDINO inference port plugs into.
 """
 
 from __future__ import annotations

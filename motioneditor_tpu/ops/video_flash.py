@@ -251,9 +251,10 @@ def video_flash_attention(
     """Spatial video attention on [B, F, N, C] with in-kernel head packing
     and frame-selection K/V (see module docstring). Returns q's shape.
 
-    Differentiable: under jax.grad the computation routes through the XLA
-    select_kv + split-head oracle (ops/diffable.py) — pallas_call itself has
-    no VJP, and training differentiates through the UNet's attention."""
+    Differentiable: frame-selection modes carry a fully-fused flash backward
+    (ops/video_flash_bwd.py — the TPU answer to xformers' fused bwd,
+    attention_2d.py:246-253); ``dense`` mode and VMEM-infeasible backward
+    blockings fall back to the XLA oracle VJP (ops/diffable.py)."""
     from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
 
     b, f, n, c = q.shape
@@ -265,6 +266,19 @@ def video_flash_attention(
         )
     bq, bk = blocks
     interpret = jax.default_backend() != "tpu"
+
+    if mode != "dense":
+        from motioneditor_tpu.ops.video_flash_bwd import (
+            flash_vjp_attention,
+            pick_blocks_bwd,
+        )
+
+        bwd_blocks = pick_blocks_bwd(n, c, q.dtype.itemsize, heads=heads)
+        if bwd_blocks is not None:
+            return flash_vjp_attention(
+                q, k, v, mode, float(scale), heads, (bq, bk), bwd_blocks,
+                interpret,
+            )
 
     def _kernel_path(q, k, v):
         return _video_flash(q, k, v, mode, float(scale), heads, bq, bk, interpret)

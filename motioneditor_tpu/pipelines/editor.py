@@ -65,6 +65,10 @@ class MotionEditorPipeline:
     text_config: CLIPTextConfig = CLIPTextConfig()
     schedule: DiffusionSchedule = DiffusionSchedule()
     use_flash: bool = True
+    # UNet compute dtype for null-text optimization; the embedding/Adam/DDIM
+    # math always stays fp32 (see _jit_null_optimization). "float32" is the
+    # parity knob matching the reference's A100-default fp32 phase.
+    null_text_dtype: str = "bfloat16"
 
     def __post_init__(self):
         if self.controlnet_config is None:
@@ -147,6 +151,7 @@ class MotionEditorPipeline:
             null_base_lr,
             guidance_scale,
             self.use_flash,
+            self.null_text_dtype,
         )
         uncond_list = opt_fn(self.unet_params, all_latents, cond, uncond0, ts)
         return x_t, uncond_list
@@ -313,17 +318,29 @@ def _jit_ddim_invert(unet_config, schedule, num_steps, normal_infer, use_flash):
 
 @functools.lru_cache(maxsize=None)
 def _jit_null_optimization(
-    unet_config, schedule, num_steps, inner_steps, base_lr, guidance_scale, use_flash
+    unet_config, schedule, num_steps, inner_steps, base_lr, guidance_scale,
+    use_flash, compute_dtype="float32",
 ):
     """Per-timestep Adam on the uncond embedding pinning the CFG trajectory
-    to the inversion trajectory (null_text_optimization.py:136-169)."""
+    to the inversion trajectory (null_text_optimization.py:136-169).
+
+    ``compute_dtype="bfloat16"`` runs the UNet forward/backward in bf16 while
+    the optimized embedding, the Adam state and the DDIM/loss math stay fp32
+    — the same fp32-master mixed-precision scheme as training (training/
+    stage1.py). The reference runs this phase fp32 only because that is the
+    A100 default; on TPU the bf16 path is the production setting and fp32
+    remains the parity knob."""
+    cdt = jnp.dtype(compute_dtype)
 
     def run(unet_params, all_latents, cond, uncond0, ts):
+        # fp32 masters: trajectory targets, optimized embedding, DDIM math
+        all_latents = all_latents.astype(jnp.float32)
+        uncond0 = uncond0.astype(jnp.float32)
         def eps_fn(lat, t, emb):
             return unet_apply(
-                unet_params, unet_config, lat, t, emb,
+                unet_params, unet_config, lat.astype(cdt), t, emb.astype(cdt),
                 normal_infer=False, use_flash=use_flash,
-            )
+            ).astype(jnp.float32)
 
         def step_body(carry, i):
             latent_cur, uncond = carry

@@ -73,6 +73,11 @@ def build_pipeline(cfg, need_controlnet: bool = True) -> MotionEditorPipeline:
         tokenizer=tokenizer,
         unet_config=unet_config,
         use_flash=cfg.use_flash_attention,
+        # fp32 parity mode keeps the reference's fp32 null-text phase;
+        # otherwise bf16 compute + fp32 masters (the TPU production path)
+        null_text_dtype=(
+            "float32" if cfg.mixed_precision in ("no", "fp32") else "bfloat16"
+        ),
     )
 
     # stage-1 state + stand-alone adapter weights (inference.py:237-240)

@@ -9,6 +9,7 @@ numbers extrapolate linearly to the 50-step product setting).
 from __future__ import annotations
 
 import argparse
+import os
 import os.path as osp
 import sys
 import time
@@ -84,10 +85,19 @@ def main():
     inv_fn = _jit_ddim_invert(config, schedule, steps, True, True)
     timeit("ddim inversion", inv_fn, unet_params, lat, cond, ts)
 
-    opt_fn = _jit_null_optimization(config, schedule, steps, 1, 1e-2, 7.5, True)
     all_lat = jnp.broadcast_to(lat[None], (steps + 1,) + lat.shape)
     c32 = cond.astype(jnp.float32)
-    timeit("null-text opt (inner=1)", opt_fn, unet_params, all_lat.astype(jnp.float32), c32, c32, ts)
+    opt_fn = _jit_null_optimization(
+        config, schedule, steps, 1, 1e-2, 7.5, True, "bfloat16"
+    )
+    timeit("null-text opt (bf16, inner=1)", opt_fn, unet_params,
+           all_lat.astype(jnp.float32), c32, c32, ts)
+    if os.environ.get("PROFILE_NULL_FP32"):
+        opt32 = _jit_null_optimization(
+            config, schedule, steps, 1, 1e-2, 7.5, True, "float32"
+        )
+        timeit("null-text opt (fp32, inner=1)", opt32, unet_params,
+               all_lat.astype(jnp.float32), c32, c32, ts)
 
     t0 = time.perf_counter()
     out = dec(vae_params, lat)
