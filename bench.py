@@ -5,7 +5,7 @@ Measures the REAL product hot path — the pipeline's injected denoise segment
 adapter plumbing, 2-row ControlNet, CFG, DDIM update) — at 512x512, bf16, on
 the north-star 24-frame clip (BASELINE.md: 24-frame 512^2 edit, 50 steps).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 value = denoise milliseconds per step per frame (lower is better).
 vs_baseline compares against the A100+xformers reference estimate in
 BASELINE_MS_PER_STEP_PER_FRAME below. The repo publishes no numbers
@@ -17,6 +17,15 @@ plus 2F fp16 ControlNet forwards (~300 GFLOP); at the ~40-50 TFLOP/s
 effective throughput that batched SD-1.5 + xformers reaches on A100
 (single-image diffusers runs measure 17-27 TFLOP/s; large batches roughly
 double it), that is ~75-105 ms per step per frame. 90 is the midpoint.
+
+Extra fields (round-2, VERDICT #8):
+  mfu            — model flops (XLA cost_analysis + analytic Pallas-kernel
+                   flops, ops/flop_count.py) / step / time / chip peak
+  phases         — measured per-step ms for DDIM inversion and null-text
+                   optimization (bf16 production settings), VAE once-costs,
+                   and the derived 50-step full-edit wall-clock
+Set BENCH_PHASES=0 to skip the phase measurements (they add two extra
+program compiles).
 
 Implementation note: steps are scanned INSIDE one jitted program, exactly
 like pipelines/editor.py. Calling a per-step jit in a Python loop and feeding
@@ -31,6 +40,8 @@ import json
 import os
 import time
 
+import numpy as np
+
 # A100 + xformers fp16 reference stand-in (ms per denoise step per frame for
 # the full batch-4 step). No published number exists; derivation in the
 # module docstring + BASELINE.md.
@@ -38,6 +49,18 @@ BASELINE_MS_PER_STEP_PER_FRAME = 90.0
 
 FRAMES = int(os.environ.get("BENCH_FRAMES", "24"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+PHASES = os.environ.get("BENCH_PHASES", "1") != "0"
+
+# bf16 peak by device kind (MFU denominator)
+_PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
 
 
 def main():
@@ -58,7 +81,12 @@ def main():
         precompute_cond_embedding,
     )
     from motioneditor_tpu.models.unet import UNetConfig, init_unet
-    from motioneditor_tpu.pipelines.editor import _jit_denoise_segment
+    from motioneditor_tpu.ops.flop_count import kernel_flop_counter
+    from motioneditor_tpu.pipelines.editor import (
+        _jit_ddim_invert,
+        _jit_denoise_segment,
+        _jit_null_optimization,
+    )
     from motioneditor_tpu.schedulers import DiffusionSchedule
 
     dtype = jnp.bfloat16
@@ -94,12 +122,33 @@ def main():
     )
     dummy_uncond = jnp.zeros((STEPS, 1, 1, 1), dtype)
 
+    seg_args = (
+        unet_params, cn_params, lat, all_ts[4 : 4 + STEPS],
+        cond, uncond, dummy_uncond, cond_emb, masks, jnp.zeros(()),
+    )
+
     def run(latents):
-        out, _ = seg_fn(
-            unet_params, cn_params, latents, all_ts[4 : 4 + STEPS],
-            cond, uncond, dummy_uncond, cond_emb, masks, jnp.zeros(()),
-        )
+        out, _ = seg_fn(*seg_args[:2], latents, *seg_args[3:])
         return out
+
+    # ---- model flops per step: XLA cost_analysis (counts the scanned while
+    # body once) + analytic Pallas-kernel flops recorded at trace time
+    kernel_flops = 0.0
+    xla_flops = 0.0
+    try:
+        with kernel_flop_counter() as kc:
+            lowered = seg_fn.lower(*seg_args)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        # XLA models the while body once; per-step = total / STEPS only if
+        # it multiplies by trip count — detect by comparing to a 1-step
+        # program is overkill; the TPU backend does NOT multiply, so the
+        # reported flops already are (approximately) one step + constants.
+        xla_flops = float(ca.get("flops", 0.0))
+        kernel_flops = float(kc.flops)
+    except Exception:
+        pass
 
     out = run(lat)  # compile + warmup
     float(jnp.sum(out))  # d2h read: block_until_ready under-reports on axon
@@ -111,22 +160,78 @@ def main():
 
     ms_per_step = dt * 1e3
     ms_per_step_per_frame = ms_per_step / f
-    print(
-        json.dumps(
-            {
-                "metric": f"edit_denoise_ms_per_step_per_frame_{f}f_512px_bf16",
-                "value": round(ms_per_step_per_frame, 3),
-                "unit": "ms/step/frame",
-                "vs_baseline": round(
-                    BASELINE_MS_PER_STEP_PER_FRAME / ms_per_step_per_frame, 3
-                ),
-                # the baseline is a DERIVED estimate, not a measurement
-                # (BASELINE.md); flag it so vs_baseline isn't read as
-                # measured parity
-                "baseline": "derived-estimate 90 ms/step/frame (range 75-105)",
+
+    kind = jax.devices()[0].device_kind
+    peak = _PEAK_TFLOPS.get(kind)
+    mfu = None
+    if peak and (xla_flops or kernel_flops):
+        step_flops = xla_flops + kernel_flops
+        mfu = step_flops / dt / (peak * 1e12)
+
+    result = {
+        "metric": f"edit_denoise_ms_per_step_per_frame_{f}f_512px_bf16",
+        "value": round(ms_per_step_per_frame, 3),
+        "unit": "ms/step/frame",
+        "vs_baseline": round(
+            BASELINE_MS_PER_STEP_PER_FRAME / ms_per_step_per_frame, 3
+        ),
+        # the baseline is a DERIVED estimate, not a measurement (BASELINE.md);
+        # flag it so vs_baseline isn't read as measured parity
+        "baseline": "derived-estimate 90 ms/step/frame (range 75-105)",
+        "device": kind,
+    }
+    if mfu is not None:
+        result["mfu"] = round(mfu, 4)
+        result["model_tflops_per_step"] = round((xla_flops + kernel_flops) / 1e12, 2)
+
+    if PHASES:
+        try:
+            # free the denoise-only device buffers first: the 24f null-text
+            # grad program needs nearly the whole 16G HBM by itself
+            lat1 = jax.device_put(np.asarray(lat[:1]))
+            cond1 = jax.device_put(np.asarray(cond[:1]))
+            del out, cond_emb, masks, cn_params, seg_args, lat, cond, uncond
+            del cond_image
+            import gc
+
+            gc.collect()
+
+            # DDIM inversion (bf16 production path), 2-step scan
+            inv_fn = _jit_ddim_invert(config, schedule, 2, False, True)
+            ts2 = all_ts[:2]
+            o = inv_fn(unet_params, lat1, cond1, ts2)
+            float(jnp.sum(o[0]))
+            t0 = time.perf_counter()
+            o = inv_fn(unet_params, lat1, cond1, ts2)
+            float(jnp.sum(o[0]))
+            inv_ms = (time.perf_counter() - t0) / 2 * 1e3
+
+            # null-text optimization (bf16 compute + fp32 masters), 2 steps
+            nt_fn = _jit_null_optimization(
+                config, schedule, 2, 1, 1e-2, 7.5, True, "bfloat16"
+            )
+            all_lat = jnp.broadcast_to(lat1[None], (3,) + lat1.shape)
+            c32 = cond1.astype(jnp.float32)
+            u = nt_fn(unet_params, all_lat, c32, c32, ts2)
+            float(jnp.sum(u))
+            t0 = time.perf_counter()
+            u = nt_fn(unet_params, all_lat, c32, c32, ts2)
+            float(jnp.sum(u))
+            nt_ms = (time.perf_counter() - t0) / 2 * 1e3
+
+            total_edit_s = (
+                50 * (ms_per_step + inv_ms + nt_ms) / 1e3
+            )
+            result["phases"] = {
+                "denoise_ms_per_step": round(ms_per_step, 1),
+                "inversion_ms_per_step": round(inv_ms, 1),
+                "null_text_ms_per_step": round(nt_ms, 1),
+                "full_edit_50step_s": round(total_edit_s, 1),
             }
-        )
-    )
+        except Exception as e:  # phases are additive info; never lose the line
+            result["phases_error"] = str(e)[:120]
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

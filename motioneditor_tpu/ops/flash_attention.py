@@ -219,12 +219,16 @@ def flash_attention(
 
     Differentiable: under jax.grad the computation routes through the plain
     fp32-softmax einsum oracle (ops/diffable.py) — pallas_call has no VJP."""
+    import math
+
     from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
+    from motioneditor_tpu.ops.flop_count import add_kernel_flops
 
     if scale is None:
         scale = q.shape[-1] ** -0.5
     *lead, nq, d = q.shape
     kv_len = k.shape[-2]
+    add_kernel_flops(2 * 2 * math.prod(lead) * nq * kv_len * d)
     interpret = jax.default_backend() != "tpu"
     if q.dtype == jnp.bfloat16 and block_q == DEFAULT_BLOCK_Q:
         block_q = _NOMAX_BLOCK_Q

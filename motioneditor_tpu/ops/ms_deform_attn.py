@@ -9,11 +9,11 @@ predicted sampling locations, combined by attention weights.
 
 This is host-side preprocessing in the TPU design (mask extraction), so a
 fused-XLA implementation is the faithful equivalent; gathers lower to
-efficient dynamic-slices on TPU. Library status: oracle-tested against the
-reference's PyTorch fallback (tests/test_prep.py); the shipped mask CLI
-(prep/masks.py) currently delegates to the external HF GroundingDINO stack,
-so nothing in-repo calls this yet — it is the kernel a first-party
-GroundingDINO inference port plugs into.
+efficient dynamic-slices on TPU. Oracle-tested against the reference's
+PyTorch fallback (tests/test_prep.py). Called by the first-party
+GroundingDINO port (models/grounding_dino._msdeform_apply — the encoder's
+deformable self-attention and the decoder's deformable cross-attention),
+which prep/masks.py runs with ``--dino_backend native``.
 """
 
 from __future__ import annotations
@@ -22,6 +22,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _bilinear_sample(value: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
@@ -79,7 +80,9 @@ def ms_deform_attn(
     b, _, heads, dim = value.shape
     _, nq, _, num_levels, num_points, _ = sampling_locations.shape
     splits = [h * w for h, w in spatial_shapes]
-    value_list = jnp.split(value, jnp.cumsum(jnp.asarray(splits))[:-1], axis=1)
+    # host-side indices: spatial_shapes is static, and jnp.cumsum would turn
+    # the split points into tracers under jit
+    value_list = jnp.split(value, list(np.cumsum(splits)[:-1]), axis=1)
 
     outputs = []
     for lvl, (hl, wl) in enumerate(spatial_shapes):

@@ -124,29 +124,54 @@ def temporal_flash_attention(
     Differentiable: under jax.grad the computation routes through the XLA
     einsum oracle (ops/diffable.py) — pallas_call has no VJP."""
     from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
+    from motioneditor_tpu.ops.flop_count import add_kernel_flops
 
     interpret = jax.default_backend() != "tpu"
     b, f, n, c = q.shape
+    add_kernel_flops(2 * 2 * b * n * f * f * c)  # per-site F x F over all heads
     degenerate_blocking = _pick_block_n(n, f, c, q.dtype.itemsize) < 8
 
     def _kernel_path(q, k, v):
         return _temporal_4d(q, k, v, float(scale), heads, causal, interpret)
 
-    def _oracle(q, k, v):
-        b, f, n, c = q.shape
+    def _one_chunk(qc, kc, vc):
+        bb, f, nc_, c = qc.shape
         d = c // heads
-        q5 = q.reshape(b, f, n, heads, d)
-        k5 = k.reshape(b, f, n, heads, d)
-        v5 = v.reshape(b, f, n, heads, d)
+        q5 = qc.reshape(bb, f, nc_, heads, d)
+        k5 = kc.reshape(bb, f, nc_, heads, d)
+        v5 = vc.reshape(bb, f, nc_, heads, d)
         s = jnp.einsum(
             "bfnhd,bgnhd->bnhfg", q5, k5, preferred_element_type=jnp.float32
         ) * scale
         if causal:
             mask = jnp.tril(jnp.ones((f, f), bool))
             s = jnp.where(mask, s, -jnp.inf)
-        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        p = jax.nn.softmax(s, axis=-1).astype(vc.dtype)
         out = jnp.einsum("bnhfg,bgnhd->bfnhd", p, v5)
-        return out.reshape(b, f, n, c)
+        return out.reshape(bb, f, nc_, c)
+
+    def _oracle(q, k, v):
+        # Token-chunked: the [B, N, H, F, F] fp32 score tensor T(8,128)-pads
+        # its (F, F) minor pair 24x24 -> 32x128 (5.3x); at 24f 512px it alone
+        # is 384M and the backward keeps several alive (HBM OOM). lax.map
+        # over lane-aligned token chunks + jax.checkpoint bounds the
+        # transient to one chunk on both the value and gradient paths (same
+        # pattern as the spatial oracle in ops/video_flash.py).
+        b, f, n, c = q.shape
+        chunk = 512
+        if n % chunk:
+            return _one_chunk(q, k, v)
+        nch = n // chunk
+
+        @jax.checkpoint
+        def body(i):
+            qc = jax.lax.dynamic_slice_in_dim(q, i * chunk, chunk, axis=2)
+            kc = jax.lax.dynamic_slice_in_dim(k, i * chunk, chunk, axis=2)
+            vc = jax.lax.dynamic_slice_in_dim(v, i * chunk, chunk, axis=2)
+            return _one_chunk(qc, kc, vc)
+
+        out = jax.lax.map(body, jnp.arange(nch))  # [nch, B, F, chunk, C]
+        return jnp.moveaxis(out, 0, 2).reshape(b, f, n, c)
 
     if degenerate_blocking:
         # no lane-aligned bn divides n (e.g. odd spatial sizes) — the XLA

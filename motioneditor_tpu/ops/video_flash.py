@@ -256,8 +256,11 @@ def video_flash_attention(
     attention_2d.py:246-253); ``dense`` mode and VMEM-infeasible backward
     blockings fall back to the XLA oracle VJP (ops/diffable.py)."""
     from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
+    from motioneditor_tpu.ops.flop_count import add_kernel_flops
 
     b, f, n, c = q.shape
+    kv = (f if mode == "dense" else 2 if mode != "normal" else 1) * n
+    add_kernel_flops(2 * 2 * b * f * n * kv * c)  # score + PV matmuls
     blocks = _pick_blocks(n, c, q.dtype.itemsize, kv_streams=2, heads=heads)
     if blocks is None:
         raise ValueError(
@@ -600,8 +603,10 @@ def video_injection_attention(
 
     Differentiable via the XLA concat oracle (ops/diffable.py)."""
     from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
+    from motioneditor_tpu.ops.flop_count import add_kernel_flops
 
     b, f, n, c = q_tgt.shape
+    add_kernel_flops(2 * 2 * b * f * n * (3 * n) * c)  # [2N fg/bg-src + N tgt]
     blocks = _pick_blocks(n, c, q_tgt.dtype.itemsize, kv_streams=4, heads=heads)
     if blocks is None:
         raise ValueError(

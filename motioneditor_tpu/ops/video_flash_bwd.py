@@ -386,6 +386,7 @@ def video_flash_bwd(q, k, v, out, lse, do, mode, scale, heads,
     nb = n // block_k
     nq = n // block_q
     n_src = _sources(mode, f)
+    part_dtype = q.dtype if nomax else jnp.float32
 
     def q_idx3(bfi, qi, ki):
         return (bfi // f, bfi % f, qi, 0)
@@ -439,9 +440,13 @@ def video_flash_bwd(q, k, v, out, lse, do, mode, scale, heads,
             pl.BlockSpec((1, 1, 1, block_k, c), p_idx4),
             pl.BlockSpec((1, 1, 1, block_k, c), p_idx4),
         ],
+        # partials materialize in the primal dtype for bf16 runs: VMEM
+        # accumulation is fp32 either way, only the HBM staging buffer and
+        # the handful of frame scatter-adds run at bf16 — this halves the
+        # backward's largest transient (24f 512px null-text OOMs otherwise)
         out_shape=[
-            jax.ShapeDtypeStruct((b, f, n_src, n, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, f, n_src, n, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, f, n_src, n, c), part_dtype),
+            jax.ShapeDtypeStruct((b, f, n_src, n, c), part_dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, c), jnp.float32),
