@@ -142,9 +142,10 @@ def extract_masks_native(
     sam_path: str,
     box_threshold: float = 0.3,
 ):
-    """Native-DINO backend: JAX GroundingDINO boxes + HF SAM masks."""
-    import torch
-    from transformers import BertTokenizer, SamModel, SamProcessor
+    """Fully first-party backend: JAX GroundingDINO boxes + JAX SAM masks
+    (when ``sam_path`` is the official sam_vit_*.pth) — the complete
+    GroundedSAM pipeline on TPU. An HF SAM directory is still accepted."""
+    from transformers import BertTokenizer
 
     from motioneditor_tpu.models.gdino_weights import (
         load_groundingdino_checkpoint,
@@ -154,8 +155,24 @@ def extract_masks_native(
     cfg = GDINO_SWINB if "swinb" in osp.basename(dino_ckpt).lower() else GDINO_SWINT
     params = load_groundingdino_checkpoint(dino_ckpt, cfg)
     tokenizer = BertTokenizer(vocab_file=bert_vocab)
-    sam_proc = SamProcessor.from_pretrained(sam_path)
-    sam = SamModel.from_pretrained(sam_path)
+
+    native_sam = osp.isfile(sam_path) and sam_path.endswith(".pth")
+    if native_sam:
+        from motioneditor_tpu.models.sam import (
+            SAM_VIT_B,
+            SAM_VIT_H,
+            load_sam_checkpoint,
+            sam_predict_box,
+        )
+
+        sam_cfg = SAM_VIT_B if "vit_b" in osp.basename(sam_path) else SAM_VIT_H
+        sam_params = load_sam_checkpoint(sam_path, sam_cfg)
+    else:
+        import torch
+        from transformers import SamModel, SamProcessor
+
+        sam_proc = SamProcessor.from_pretrained(sam_path)
+        sam = SamModel.from_pretrained(sam_path)
 
     os.makedirs(save_dir, exist_ok=True)
     for path in sorted(glob(osp.join(frames_dir, "*"))):
@@ -166,7 +183,13 @@ def extract_masks_native(
         )
         if len(scores) == 0:
             mask = np.zeros(image.size[::-1], np.uint8)
+        elif native_sam:
+            box = xyxy[int(scores.argmax())]
+            m = sam_predict_box(sam_params, np.asarray(image), box, sam_cfg)
+            mask = (m * 255).astype(np.uint8)
         else:
+            import torch
+
             box = xyxy[int(scores.argmax())].tolist()
             s_in = sam_proc(image, input_boxes=[[box]], return_tensors="pt")
             with torch.no_grad():
@@ -204,15 +227,18 @@ def main():
     args = p.parse_args()
 
     if args.dino_backend == "native":
+        sam_ok = osp.isdir(args.sam_path) or (
+            osp.isfile(args.sam_path) and args.sam_path.endswith(".pth")
+        )
         missing = [
             x for x in (args.dino_ckpt, args.bert_vocab)
             if not osp.isfile(x)
-        ] + ([] if osp.isdir(args.sam_path) else [args.sam_path])
+        ] + ([] if sam_ok else [args.sam_path])
         if missing:
             raise SystemExit(
                 "native mask extraction needs the official GroundingDINO .pth, "
-                "a BERT vocab.txt, and a local HF SAM checkpoint "
-                f"(missing: {missing})."
+                "a BERT vocab.txt, and a SAM checkpoint (official sam_vit_*.pth "
+                f"for the native SAM, or an HF dir) (missing: {missing})."
             )
         extract_masks_native(
             args.data, args.text_prompt, args.save_dir,
