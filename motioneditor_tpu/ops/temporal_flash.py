@@ -92,6 +92,110 @@ def _pick_block_n(n: int, f: int, c: int, itemsize: int) -> int:
     return bn
 
 
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+    *, heads: int, causal: bool, scale: float,
+):
+    """Fused dq/dk/dv in ONE kernel: all F frames of a token block are
+    resident, so the whole F x F pair loop (scores recomputed, softmax
+    rebuilt, gradient accumulated) runs in VMEM with no saved residuals and
+    no [.., F, F] tensor in HBM. Same head-summing matmul trick as the
+    forward; exact gradient of the forward's math."""
+    f_len = q_ref.shape[1]
+    c = q_ref.shape[3]
+    m_mat = _head_matrix(c, heads)
+    mt_mat = m_mat.T
+
+    qs = [q_ref[0, f].astype(jnp.float32) for f in range(f_len)]
+    ks = [k_ref[0, g].astype(jnp.float32) for g in range(f_len)]
+    vs = [v_ref[0, g].astype(jnp.float32) for g in range(f_len)]
+    dos = [do_ref[0, f].astype(jnp.float32) for f in range(f_len)]
+    dk_acc = [None] * f_len
+    dv_acc = [None] * f_len
+
+    def add(acc, g, term):
+        acc[g] = term if acc[g] is None else acc[g] + term
+
+    for f in range(f_len):
+        glim = (f + 1) if causal else f_len
+        s_list = []
+        for g in range(glim):
+            s = jax.lax.dot(qs[f] * ks[g], m_mat, preferred_element_type=jnp.float32)
+            s_list.append(s * scale)
+        m = s_list[0]
+        for s in s_list[1:]:
+            m = jnp.maximum(m, s)
+        ps = [jnp.exp(s - m) for s in s_list]
+        l = ps[0]
+        for p in ps[1:]:
+            l = l + p
+        inv = 1.0 / l
+        probs = [p * inv for p in ps]
+
+        # dp[g] = <do_f, v_g> per head; D_f = sum_g p_g * dp_g
+        dps = [
+            jax.lax.dot(dos[f] * vs[g], m_mat, preferred_element_type=jnp.float32)
+            for g in range(glim)
+        ]
+        d_f = probs[0] * dps[0]
+        for g in range(1, glim):
+            d_f = d_f + probs[g] * dps[g]
+
+        dq_f = None
+        for g in range(glim):
+            ds = probs[g] * (dps[g] - d_f)  # (bn, H)
+            ebar = scale * jax.lax.dot(
+                ds, mt_mat, preferred_element_type=jnp.float32
+            )  # (bn, C): grad wrt the elementwise product q_f * k_g
+            dq_f = ebar * ks[g] if dq_f is None else dq_f + ebar * ks[g]
+            add(dk_acc, g, ebar * qs[f])
+            pc = jax.lax.dot(probs[g], mt_mat, preferred_element_type=jnp.float32)
+            add(dv_acc, g, pc * dos[f])
+        dq_ref[0, f] = dq_f.astype(dq_ref.dtype)
+
+    zero = jnp.zeros_like(qs[0])
+    for g in range(f_len):
+        dk_ref[0, g] = (dk_acc[g] if dk_acc[g] is not None else zero).astype(
+            dk_ref.dtype
+        )
+        dv_ref[0, g] = (dv_acc[g] if dv_acc[g] is not None else zero).astype(
+            dv_ref.dtype
+        )
+
+
+def _pick_block_n_bwd(n: int, f: int, c: int, itemsize: int) -> int:
+    """bn for the backward kernel: 7 streamed [F, bn, C] blocks
+    (q,k,v,do,dq,dk,dv, double-buffered) + ~5F fp32 [bn, C] live values
+    (qs/ks/vs/dos + dk/dv accumulators)."""
+    per_bn = itemsize * 7 * f * c * 2 + 4 * 5 * f * c
+    budget = 10_000_000 // per_bn
+    bn = 8
+    while bn * 2 <= min(n, max(8, budget)):
+        bn *= 2
+    bn = min(bn, n)
+    while bn > 1 and n % bn != 0:
+        bn //= 2
+    return bn
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "heads", "causal", "interpret")
+)
+def _temporal_4d_bwd(q, k, v, do, scale, heads, causal, interpret):
+    b, f, n, c = q.shape
+    bn = _pick_block_n_bwd(n, f, c, q.dtype.itemsize)
+    grid = (b, n // bn)
+    spec = pl.BlockSpec((1, f, bn, c), lambda bi, ni: (bi, 0, ni, 0))
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, heads=heads, causal=causal, scale=scale),
+        grid=grid,
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
+        interpret=interpret,
+    )(q, k, v, do)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "heads", "causal", "interpret")
 )
@@ -177,4 +281,25 @@ def temporal_flash_attention(
         # no lane-aligned bn divides n (e.g. odd spatial sizes) — the XLA
         # transpose path is the correct fallback
         return _oracle(q, k, v)
+
+    if _pick_block_n_bwd(n, f, c, q.dtype.itemsize) >= 8:
+        # fully-fused flash backward: saves only (q, k, v) — all F frames of
+        # a token block are VMEM-resident, so the backward recomputes scores
+        # and softmax in-kernel (no residuals, no [.., F, F] HBM tensor)
+        @jax.custom_vjp
+        def attn(q, k, v):
+            return _kernel_path(q, k, v)
+
+        def fwd_rule(q, k, v):
+            return _kernel_path(q, k, v), (q, k, v)
+
+        def bwd_rule(res, g):
+            qr, kr, vr = res
+            return _temporal_4d_bwd(
+                qr, kr, vr, g.astype(qr.dtype), float(scale), heads, causal,
+                interpret,
+            )
+
+        attn.defvjp(fwd_rule, bwd_rule)
+        return attn(q, k, v)
     return kernel_with_xla_vjp(_kernel_path, _oracle)(q, k, v)
