@@ -35,18 +35,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 FRAME_AXIS = "frames"
+MODEL_AXIS = "model"  # optional tensor-parallel axis (attention heads / FF)
 
 
 def create_mesh(
-    mesh_shape: Tuple[int, int] = (1, 1), devices: Optional[Sequence] = None
+    mesh_shape: Tuple[int, ...] = (1, 1), devices: Optional[Sequence] = None
 ) -> Mesh:
-    """(data, frames) mesh. mesh_shape=(1, n_dev) shards only frames."""
+    """(data, frames[, model]) mesh. mesh_shape=(1, n_dev) shards only
+    frames; a 3-tuple adds the tensor-parallel ``model`` axis (see tp.py)."""
     devices = list(devices if devices is not None else jax.devices())
     n = int(np.prod(mesh_shape))
     if n > len(devices):
         raise ValueError(f"mesh {mesh_shape} needs {n} devices, have {len(devices)}")
+    axes = (DATA_AXIS, FRAME_AXIS, MODEL_AXIS)[: len(mesh_shape)]
     dev_array = np.asarray(devices[:n]).reshape(mesh_shape)
-    return Mesh(dev_array, (DATA_AXIS, FRAME_AXIS))
+    return Mesh(dev_array, axes)
 
 
 def auto_mesh(max_frames_shards: int = 8) -> Mesh:

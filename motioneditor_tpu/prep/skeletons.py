@@ -1,10 +1,17 @@
 """Skeleton extraction CLI (port of data_preparation/video_skeletons.py).
 
 The reference drives ``controlnet_aux`` OpenposeDetector (or Midas) per frame
-(:13-21, :63-83). Those detector weights/backbones are external pretrained
-models (L0); this CLI keeps the same surface and writes
-``<save_dir>/<cond>/<frame>.png``. If controlnet_aux is unavailable in the
-environment, it exits with an actionable error instead of crashing mid-run.
+(:13-21, :63-83) and writes ``<save_dir>/<cond>/<frame>.png``.
+
+Backends:
+  - ``--body_model <body_pose_model.pth>``: the first-party JAX OpenPose
+    port (models/openpose.py) — the CMU two-branch PAF/heatmap network runs
+    on TPU, peak/limb decoding and rendering on host. This covers the body
+    skeleton (what ControlNet-openpose conditions on); the reference's
+    ``openposefull`` additionally overlays hand/face keypoints, for which
+    the controlnet_aux fallback remains.
+  - otherwise: controlnet_aux OpenposeDetector / MidasDetector, with an
+    actionable error if that stack is unavailable.
 """
 
 from __future__ import annotations
@@ -33,11 +40,24 @@ def build_detector(kind: str):
             return MidasDetector.from_pretrained("lllyasviel/Annotators")
     except ImportError as e:
         raise SystemExit(
-            f"skeleton extraction needs controlnet_aux ({e}); install it or "
-            "produce condition PNGs with any OpenPose implementation — the "
-            "pipeline only needs the rendered skeleton images."
+            f"skeleton extraction needs controlnet_aux ({e}); either pass "
+            "--body_model <body_pose_model.pth> to use the first-party JAX "
+            "OpenPose port, or produce condition PNGs with any OpenPose "
+            "implementation — the pipeline only needs the rendered images."
         )
     raise SystemExit(f"unknown condition type {kind}")
+
+
+def build_native_detector(body_model: str):
+    """First-party backend: JAX OpenPose body network + host decode/render."""
+    from motioneditor_tpu.models.openpose import load_body_params, render_skeleton
+
+    params = load_body_params(body_model)
+
+    def detect(img: Image.Image) -> np.ndarray:
+        return render_skeleton(params, np.asarray(img, np.uint8))
+
+    return detect
 
 
 def main():
@@ -45,9 +65,18 @@ def main():
     p.add_argument("--data", type=str, required=True, help="frames dir")
     p.add_argument("--save_dir", type=str, required=True)
     p.add_argument("--condition", type=str, default="openposefull")
+    p.add_argument(
+        "--body_model", type=str, default=None,
+        help="pytorch-openpose body_pose_model.pth -> native JAX backend",
+    )
     args = p.parse_args()
 
-    det = build_detector(args.condition)
+    if args.body_model:
+        if args.condition not in ("openpose", "openposefull"):
+            raise SystemExit("--body_model implies an openpose condition")
+        det = build_native_detector(args.body_model)
+    else:
+        det = build_detector(args.condition)
     out_dir = osp.join(args.save_dir, args.condition)
     os.makedirs(out_dir, exist_ok=True)
     for path in sorted(glob(osp.join(args.data, "*"))):

@@ -132,10 +132,49 @@ def case_collectives():
     print("collectives OK", dict(counts))
 
 
+def case_tensor_parallel():
+    """Megatron-style TP over a (1, 2, 2) (data, frames, model) mesh:
+    attention/FF weights column/row-sharded (parallel/tp.py) on top of frame
+    sharding. Output must match the replicated single-device forward, and
+    the program must psum over the model axis (all-reduce present)."""
+    import re
+
+    from motioneditor_tpu.parallel.tp import shard_params_tp, tp_param_shardings
+
+    mesh = create_mesh((1, 2, 2))
+    params = init_unet(jax.random.PRNGKey(0), TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 16, 16, 4))
+    enc = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16))
+    t = jnp.asarray(100)
+
+    ref = unet_apply(params, TINY, x, t, enc, use_flash=False)
+
+    specs = tp_param_shardings(params, mesh)
+    sharded_leaves = [
+        s for s in jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda n: any(n.spec), specs)
+        ) if s
+    ]
+    assert len(sharded_leaves) > 50, "TP rules matched too few weights"
+
+    ps = shard_params_tp(params, mesh)
+    xs = jax.device_put(
+        x, NamedSharding(mesh, P(DATA_AXIS, FRAME_AXIS, None, None, None))
+    )
+    with mesh:
+        f = jax.jit(lambda p, a: unet_apply(p, TINY, a, t, enc, use_flash=False))
+        hlo = f.lower(ps, xs).compile().as_text()
+        out = f(ps, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
+    assert re.search(r"= \S+ all-reduce\(", hlo), "no model-axis psum in HLO"
+    print("tensor_parallel OK")
+
+
 if __name__ == "__main__":
     {
         "frame_sharded_forward": case_frame_sharded_forward,
         "train_step": case_train_step,
         "dryrun": case_dryrun,
         "collectives": case_collectives,
+        "tensor_parallel": case_tensor_parallel,
     }[sys.argv[1]]()

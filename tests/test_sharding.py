@@ -43,6 +43,13 @@ def test_graft_entry_dryrun_multichip():
     assert "dryrun_multichip ok" in out
 
 
+def test_tensor_parallel_matches_replicated():
+    """Megatron column/row TP shardings (parallel/tp.py) over the optional
+    model mesh axis reproduce the replicated forward and psum over heads."""
+    out = _run("tensor_parallel")
+    assert "tensor_parallel OK" in out
+
+
 def test_frame_sharded_collective_pattern():
     """Halo reads lower to collective-permute; all-gathers stay bounded to
     the frame-global ops (temporal attention/conv K/V)."""
