@@ -104,7 +104,7 @@ class RunConfig:
     max_grad_norm: float = 1.0
     checkpointing_steps: int = 300
     validation_steps: int = 300
-    use_8bit_adam: bool = False  # accepted; no-op on TPU
+    use_8bit_adam: bool = False  # blockwise 8-bit Adam state (training/adam8bit.py)
     enable_xformers_memory_efficient_attention: bool = True  # -> Pallas flash
 
     # TPU-specific

@@ -103,8 +103,23 @@ def make_optimizer(
     eps: float = 1e-8,
     weight_decay: float = 1e-2,
     max_grad_norm: float = 1.0,
+    use_8bit: bool = False,
 ):
-    """AdamW + global-norm clipping (train_bg.py:202-208, :347-352)."""
+    """AdamW + global-norm clipping (train_bg.py:202-208, :347-352).
+
+    ``use_8bit`` swaps in blockwise-quantized moment state
+    (training/adam8bit.py — the bitsandbytes use_8bit_adam equivalent,
+    train_bg.py:190-208)."""
+    if use_8bit:
+        from motioneditor_tpu.training.adam8bit import adamw8bit
+
+        return optax.chain(
+            optax.clip_by_global_norm(max_grad_norm),
+            adamw8bit(
+                learning_rate, b1=beta1, b2=beta2, eps=eps,
+                weight_decay=weight_decay,
+            ),
+        )
     return optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(

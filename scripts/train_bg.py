@@ -52,6 +52,7 @@ def main(config_path: str):
     optimizer = make_optimizer(
         lr, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_epsilon,
         cfg.adam_weight_decay, cfg.max_grad_norm,
+        use_8bit=cfg.use_8bit_adam,
     )
     dtype = cfg.compute_dtype
     import jax.numpy as _jnp
