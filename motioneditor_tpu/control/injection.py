@@ -163,6 +163,7 @@ def injected_spatial_attention(
     mask_n: Optional[jnp.ndarray],
     mask_fgbg: bool = True,
     use_flash: bool = True,
+    shard=None,
 ) -> jnp.ndarray:
     """FullySelfAttentionControlMask forward as a pure function.
 
@@ -190,6 +191,37 @@ def injected_spatial_attention(
 
     src = np.asarray(SRC_ROWS)
     tgt = np.asarray(TGT_ROWS)
+
+    if shard is not None:
+        # frame-sharded kernel path (parallel/flash_sharding): source rows
+        # run the halo-built motion-frame kernel, target rows the explicit-KV
+        # injection kernel; branch pairing (edit_u<-recon_u, edit_c<-recon_c)
+        # is row-aligned so a batch-sharded branch axis stays local
+        if use_flash and n >= 1024:
+            from motioneditor_tpu.parallel.flash_sharding import (
+                sharded_injection_flash,
+                sharded_spatial_flash,
+            )
+
+            out_src = sharded_spatial_flash(
+                q[src], k[src], v[src], MOTION_FRAME, scale, heads, shard
+            )
+            if out_src is not None:
+                if mask_fgbg and mask_n is not None:
+                    out_tgt = sharded_injection_flash(
+                        q[tgt], k[src], v[src], k[tgt], v[tgt],
+                        mask_n[..., 0], scale, heads, shard,
+                    )
+                else:
+                    out_tgt = sharded_spatial_flash(
+                        q[tgt], k[src], v[src], MOTION_FRAME, scale, heads, shard
+                    )
+                if out_tgt is not None:
+                    out = jnp.stack(
+                        [out_src[0], out_tgt[0], out_src[1], out_tgt[1]], axis=0
+                    )
+                    return linear(params["to_out"], out)
+        use_flash = False  # unsharded pallas under a mesh would replicate
 
     if use_flash and n >= 1024:
         from motioneditor_tpu.ops.video_flash import (

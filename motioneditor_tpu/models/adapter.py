@@ -88,7 +88,8 @@ def init_control_adapter(key, block_out_channels=SD15_BLOCK_CHANNELS):
     }
 
 
-def adapter_block_apply(params, x, source_hidden, use_flash: bool = True):
+def adapter_block_apply(params, x, source_hidden, use_flash: bool = True,
+                        shard=None):
     """x, source_hidden: [B, F, h, w, C] (ControlNet residual / UNet feature).
 
     Mirrors ResnetBlock.forward (controlnet_adapter.py:497-534).
@@ -105,7 +106,8 @@ def adapter_block_apply(params, x, source_hidden, use_flash: bool = True):
     tokens = x.reshape(b, f, h * w, c)
     n = layer_norm(params["norm_temp"], tokens)
     tokens = tokens + spatial_self_attention(
-        params["attn_temp"], n, SPARSE_CAUSAL, ADAPTER_HEADS, use_flash=use_flash
+        params["attn_temp"], n, SPARSE_CAUSAL, ADAPTER_HEADS, use_flash=use_flash,
+        shard=shard,
     )
 
     src_tokens = source_hidden.reshape(b, f, h * w, c)
@@ -113,7 +115,7 @@ def adapter_block_apply(params, x, source_hidden, use_flash: bool = True):
     # cross-attn per frame: query = adapter tokens, K/V = source UNet feature
     # tokens of the same frame (controlnet_adapter.py:516-519 flattens (b f)).
     tokens = tokens + _per_frame_cross_attention(
-        params["attn_pose"], n, src_tokens, use_flash=use_flash
+        params["attn_pose"], n, src_tokens, use_flash=use_flash, shard=shard
     )
 
     tokens = tokens + feed_forward(params["ff"], layer_norm(params["ff_norm"], tokens))
@@ -121,14 +123,15 @@ def adapter_block_apply(params, x, source_hidden, use_flash: bool = True):
     nt = layer_norm(params["norm_self_temp"], tokens)
     tokens = tokens + temporal_self_attention_video(
         params["attn_self_temp"], nt, ADAPTER_HEADS, causal=True,
-        use_kernel=use_flash,
+        use_kernel=use_flash, shard=shard,
     )
 
     attn = tokens.reshape(b, f, h, w, c)
     return attn + conv
 
 
-def _per_frame_cross_attention(params, q_tokens, kv_tokens, use_flash: bool):
+def _per_frame_cross_attention(params, q_tokens, kv_tokens, use_flash: bool,
+                               shard=None):
     """Cross attention where both sides are per-frame token tensors
     [B, F, N, C]; each frame attends to the matching source frame."""
     from motioneditor_tpu.models.layers import linear
@@ -142,7 +145,19 @@ def _per_frame_cross_attention(params, q_tokens, kv_tokens, use_flash: bool):
     n = q.shape[-2]
     scale = (inner // heads) ** -0.5
 
-    if use_flash and n >= 1024:
+    if shard is not None:
+        if use_flash and n >= 1024:
+            # per-frame cross attention is frame-local: the sharded wrapper
+            # in mode=normal runs the kernel on each frame shard, no comm
+            from motioneditor_tpu.parallel.flash_sharding import (
+                sharded_spatial_flash,
+            )
+
+            out = sharded_spatial_flash(q, k, v, "normal", scale, heads, shard)
+            if out is not None:
+                return linear(params["to_out"], out)
+        use_flash = False
+    elif use_flash and n >= 1024:
         from motioneditor_tpu.ops.video_flash import (
             video_flash_attention,
             video_flash_supported,
@@ -169,11 +184,15 @@ def control_adapter_apply(
     x_list: Sequence[jnp.ndarray],
     source_hidden_states: Sequence[jnp.ndarray],
     use_flash: bool = True,
+    shard=None,
 ) -> List[jnp.ndarray]:
     """Adapt the 12 ControlNet residuals (controlnet_adapter.py:554-565)."""
     assert len(x_list) == NUM_ADAPTER_BLOCKS
     assert len(source_hidden_states) == NUM_ADAPTER_BLOCKS
     return [
-        adapter_block_apply(params["body"][i], x_list[i], source_hidden_states[i], use_flash)
+        adapter_block_apply(
+            params["body"][i], x_list[i], source_hidden_states[i], use_flash,
+            shard=shard,
+        )
         for i in range(NUM_ADAPTER_BLOCKS)
     ]

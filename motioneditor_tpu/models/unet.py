@@ -64,6 +64,7 @@ from motioneditor_tpu.ops.attention import (
     spatial_self_attention,
     temporal_self_attention_video,
 )
+from motioneditor_tpu.ops.fused_norm import add_layer_norm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -306,6 +307,8 @@ class AttnContext:
     # registrar patches modules of class CrossAttention only
     # (ptp_utils.py:255-258), which attn1 is iff neither sc nor st attention
     prob_editor: Optional[object] = None
+    # frame-sharded kernel execution (parallel/flash_sharding.FrameShardingCtx)
+    shard: Optional[object] = None
 
 
 def basic_transformer_block(
@@ -327,21 +330,31 @@ def basic_transformer_block(
             attn1_out = injected_spatial_attention_auto(
                 params["attn1"], h, ctx.heads, mask_n,
                 ctx.cross_maps or [], inj.auto_token_idx, inj.auto_thres,
-                use_flash=ctx.use_flash,
+                # auto mode has no sharded kernel; under a mesh the einsum
+                # path shards via GSPMD (an unsharded pallas would replicate)
+                use_flash=ctx.use_flash and ctx.shard is None,
             )
         else:
             attn1_out = injected_spatial_attention(
                 params["attn1"], h, ctx.heads, mask_n, inj.mask_fgbg,
-                use_flash=ctx.use_flash,
+                use_flash=ctx.use_flash, shard=ctx.shard,
             )
     else:
         attn1_out = spatial_self_attention(
             params["attn1"], h, attn1_mode, ctx.heads, use_flash=ctx.use_flash,
             prob_editor=ctx.prob_editor if attn1_mode == NORMAL else None,
+            shard=ctx.shard,
         )
-    tokens = tokens + attn1_out
 
-    h = layer_norm(params["norm2"], tokens)
+    # fused residual-add + LN (ops/fused_norm.py): one VMEM pass instead of
+    # XLA's separate add and stats/normalize fusions. Gated to the kernel
+    # regime (the sharded path keeps GSPMD; pallas under a mesh replicates).
+    fuse_ln = ctx.use_flash and ctx.shard is None and tokens.shape[2] >= 512
+    if fuse_ln:
+        tokens, h = add_layer_norm(params["norm2"], tokens, attn1_out)
+    else:
+        tokens = tokens + attn1_out
+        h = layer_norm(params["norm2"], tokens)
     # collection is driven by the presence of the maps list (set either by
     # auto-mode injection or by unet_apply_with_maps)
     collect = ctx.cross_maps is not None and tokens.shape[2] == 256
@@ -349,23 +362,35 @@ def basic_transformer_block(
     # to one 128 block measured slightly SLOWER end-to-end (87.1 vs 85.6
     # ms/step/frame): kernel launch + k/v broadcast outweigh the fp32 score
     # round-trip at this kv length.
-    tokens = tokens + cross_attention(
+    attn2_out = cross_attention(
         params["attn2"], h, ctx.encoder_hidden_states, ctx.heads,
         collect_maps_into=ctx.cross_maps if collect else None,
         prob_editor=ctx.prob_editor,
     )
 
-    tokens = tokens + feed_forward(params["ff"], layer_norm(params["norm3"], tokens))
+    if fuse_ln:
+        tokens, h = add_layer_norm(params["norm3"], tokens, attn2_out)
+    else:
+        tokens = tokens + attn2_out
+        h = layer_norm(params["norm3"], tokens)
+    ff_out = feed_forward(params["ff"], h)
 
     if "attn_temp" in params:
         # frames are the sequence axis; the Pallas temporal kernel works on
         # the native [B, F, N, C] layout (no transpose round-trip)
-        ht = layer_norm(params["norm_temp"], tokens)
+        if fuse_ln:
+            tokens, ht = add_layer_norm(params["norm_temp"], tokens, ff_out)
+        else:
+            tokens = tokens + ff_out
+            ht = layer_norm(params["norm_temp"], tokens)
         kv_override = injected_temporal_kv(ht) if temporal_gate else None
         tokens = tokens + temporal_self_attention_video(
             params["attn_temp"], ht, ctx.heads, causal=True,
             kv_override=kv_override, use_kernel=ctx.use_flash,
+            shard=ctx.shard,
         )
+    else:
+        tokens = tokens + ff_out
     return tokens
 
 
@@ -402,6 +427,7 @@ def unet_apply(
     use_flash: bool = True,
     remat: bool = False,
     prob_editor=None,
+    shard_ctx=None,
     _cross_maps_out: Optional[list] = None,
 ) -> jnp.ndarray:
     """Full UNet forward (unet_2d_condition.py:363-546).
@@ -432,6 +458,7 @@ def unet_apply(
         injection_masks=injection_masks,
         use_flash=use_flash,
         prob_editor=prob_editor,
+        shard=shard_ctx,
         cross_maps=_cross_maps_out
         if _cross_maps_out is not None
         else (
@@ -498,7 +525,7 @@ def unet_apply(
             source_hidden = [s[jnp.array([1, 3])] for s in res_samples]
             motion = control_adapter_apply(
                 params["controlnet_adapter"], residuals, source_hidden,
-                use_flash=ctx.use_flash,
+                use_flash=ctx.use_flash, shard=ctx.shard,
             )
             zeros = [jnp.zeros_like(m[:1]) for m in motion]
             residuals = [
@@ -508,7 +535,7 @@ def unet_apply(
         else:
             motion = control_adapter_apply(
                 params["controlnet_adapter"], residuals, res_samples,
-                use_flash=ctx.use_flash,
+                use_flash=ctx.use_flash, shard=ctx.shard,
             )
             residuals = motion
         res_samples = [r + d for r, d in zip(res_samples, residuals)]

@@ -147,6 +147,7 @@ def spatial_self_attention(
     heads: int,
     use_flash: bool = True,
     prob_editor=None,
+    shard=None,
 ) -> jnp.ndarray:
     """Video self-attention with per-frame K/V selection.
 
@@ -158,6 +159,11 @@ def spatial_self_attention(
     ``prob_editor``: optional (probs, is_cross=False) -> probs hook — the
     p2p self-attn map replacement (p2p_stable.py:135-139, applied only at
     Q <= 16^2 so the big resolutions keep the fused kernel path).
+
+    ``shard``: optional FrameShardingCtx — run the kernel per frame shard
+    via shard_map with explicit halo collectives (parallel/flash_sharding);
+    when set but unsupported, the op stays on the GSPMD einsum path (an
+    unsharded pallas_call under a mesh would replicate on every device).
     """
     b, f, n, c = x.shape
     q = linear(params["to_q"], x)
@@ -177,6 +183,17 @@ def spatial_self_attention(
         probs = prob_editor(probs, False)
         out = jnp.einsum("...qk,...kd->...qd", probs.astype(vh.dtype), vh)
         return linear(params["to_out"], merge_heads(out))
+
+    if shard is not None:
+        if use_flash and n >= _FLASH_MIN_Q:
+            from motioneditor_tpu.parallel.flash_sharding import (
+                sharded_spatial_flash,
+            )
+
+            out = sharded_spatial_flash(q, k, v, mode, scale, heads, shard)
+            if out is not None:
+                return linear(params["to_out"], out)
+        use_flash = False
 
     if use_flash and n >= _FLASH_MIN_Q:
         from motioneditor_tpu.ops.video_flash import (
@@ -287,6 +304,7 @@ def temporal_self_attention_video(
     causal: bool = True,
     kv_override: Optional[jnp.ndarray] = None,
     use_kernel: bool = True,
+    shard=None,
 ) -> jnp.ndarray:
     """Temporal attention taking video tokens in their NATIVE layout
     [B, F, N, C] — same math as :func:`temporal_self_attention`, without the
@@ -296,9 +314,27 @@ def temporal_self_attention_video(
     whole attention in the native layout: no head-split relayout copies and
     no HBM-materialized [B, N, H, F, F] score tensor (the XLA lowering's
     measured overheads at 64x64 — see PERF.md).
+
+    ``shard``: optional FrameShardingCtx — K/V all-gathered over the frame
+    axis, kernel runs on the local frame shard with a global causal mask
+    (parallel/flash_sharding.sharded_temporal_flash).
     """
     b, f, n, c = x.shape
     kv_src = x if kv_override is None else kv_override
+    if shard is not None:
+        if use_kernel and n >= 512 and c % heads == 0:
+            from motioneditor_tpu.parallel.flash_sharding import (
+                sharded_temporal_flash,
+            )
+
+            q = linear(params["to_q"], x)
+            k = linear(params["to_k"], kv_src)
+            v = linear(params["to_v"], kv_src)
+            scale = (q.shape[-1] // heads) ** -0.5
+            out = sharded_temporal_flash(q, k, v, scale, heads, causal, shard)
+            if out is not None:
+                return linear(params["to_out"], out)
+        use_kernel = False
     # measured crossover (PERF.md): the kernel wins for large token counts
     # (2.1x at N=4096/C=320) but loses below N=512 where its F^2 elementwise
     # products over full C outweigh the XLA path's relayout copies

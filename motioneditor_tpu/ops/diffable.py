@@ -9,10 +9,11 @@ UNet). ``kernel_with_xla_vjp`` builds a function that
   - transparently switches the whole computation (primal AND gradient) to a
     mathematically-equivalent XLA oracle under ``jax.grad``/``jax.vjp``.
 
-This is the FALLBACK autodiff path: the spatial video attention now carries
-a fully-fused flash backward (ops/video_flash_bwd.py) and only routes here
-for dense mode, VMEM-infeasible blockings, and the temporal/injection
-kernels (whose score matrices are small or inference-only).
+This is the FALLBACK autodiff path: the spatial video attention carries a
+fully-fused flash backward (ops/video_flash_bwd.py) and the temporal kernel
+a fused in-VMEM backward (ops/temporal_flash._bwd_kernel); only dense mode,
+VMEM-infeasible blockings, the injection kernel (inference-only in the
+reference flow) and the frame-sharded explicit-KV kernels route here.
 """
 
 from __future__ import annotations

@@ -33,6 +33,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _head_matrix(c: int, heads: int):
@@ -303,3 +304,115 @@ def temporal_flash_attention(
         attn.defvjp(fwd_rule, bwd_rule)
         return attn(q, k, v)
     return kernel_with_xla_vjp(_kernel_path, _oracle)(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# frame-sharded variant: local q frames attend over ALL (gathered) kv frames
+# ---------------------------------------------------------------------------
+
+
+def _kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *, heads: int, scale: float):
+    """Same head-summing-matmul attention as ``_kernel`` but with q and k/v
+    frame counts decoupled and an additive per-(f, g) bias read from SMEM.
+    The shard_map wrapper (parallel/flash_sharding.py) passes the LOCAL q
+    frames, the all-gathered global k/v frames, and a causal bias offset by
+    the shard's global frame position."""
+    fq = q_ref.shape[1]
+    fk = k_ref.shape[1]
+    c = q_ref.shape[3]
+    m_mat = _head_matrix(c, heads)
+    mt_mat = m_mat.T
+
+    ks = [k_ref[0, g].astype(jnp.float32) for g in range(fk)]
+    vs = [v_ref[0, g] for g in range(fk)]
+
+    for f in range(fq):
+        qf = q_ref[0, f].astype(jnp.float32)  # (bn, C)
+        s_list = []
+        for g in range(fk):
+            e = qf * ks[g]
+            s = jax.lax.dot(e, m_mat, preferred_element_type=jnp.float32)
+            s_list.append(s * scale + b_ref[f, g])  # (bn, H) + scalar bias
+        m = s_list[0]
+        for s in s_list[1:]:
+            m = jnp.maximum(m, s)
+        ps = [jnp.exp(s - m) for s in s_list]
+        l = ps[0]
+        for p in ps[1:]:
+            l = l + p
+        inv = 1.0 / l
+        acc = None
+        for g in range(fk):
+            pc = jax.lax.dot(ps[g] * inv, mt_mat, preferred_element_type=jnp.float32)
+            term = pc * vs[g].astype(jnp.float32)
+            acc = term if acc is None else acc + term
+        o_ref[0, f] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "heads", "interpret"))
+def _temporal_4d_bias(q, k, v, bias, scale: float, heads: int, interpret: bool):
+    b, fq, n, c = q.shape
+    fk = k.shape[1]
+    bn = _pick_block_n(n, fq + fk, c, q.dtype.itemsize)
+    grid = (b, n // bn)
+    qspec = pl.BlockSpec((1, fq, bn, c), lambda bi, ni: (bi, 0, ni, 0))
+    kspec = pl.BlockSpec((1, fk, bn, c), lambda bi, ni: (bi, 0, ni, 0))
+    bspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_bias, heads=heads, scale=scale),
+        grid=grid,
+        in_specs=[qspec, kspec, kspec, bspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+def temporal_flash_attention_global(
+    q: jnp.ndarray,        # [B, Fq, N, C] local shard of the frame axis
+    k: jnp.ndarray,        # [B, Fk, N, C] global (all-gathered) frames
+    v: jnp.ndarray,
+    scale: float,
+    heads: int,
+    causal: bool,
+    q_offset: jnp.ndarray,  # scalar int: global index of q's frame 0
+) -> jnp.ndarray:
+    """Temporal attention where q holds a contiguous SLICE [q_offset,
+    q_offset + Fq) of the global frame axis and k/v hold all frames — the
+    per-shard computation of the frame-sharded temporal attention. The
+    causal mask is applied at global frame indices via an additive bias.
+
+    Differentiable through the XLA oracle VJP (bias is constant wrt grads;
+    dk/dv flow back through the all-gather's transpose outside)."""
+    from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
+
+    b, fq, n, c = q.shape
+    fk = k.shape[1]
+    interpret = jax.default_backend() != "tpu"
+
+    if causal:
+        gi = jnp.arange(fk)[None, :]
+        fi = jnp.arange(fq)[:, None] + q_offset
+        bias = jnp.where(gi <= fi, 0.0, -1e30).astype(jnp.float32)
+    else:
+        bias = jnp.zeros((fq, fk), jnp.float32)
+
+    def _kernel_path(q, k, v, bias):
+        return _temporal_4d_bias(q, k, v, bias, float(scale), heads, interpret)
+
+    def _oracle(q, k, v, bias):
+        d = c // heads
+        q5 = q.reshape(b, fq, n, heads, d)
+        k5 = k.reshape(b, fk, n, heads, d)
+        v5 = v.reshape(b, fk, n, heads, d)
+        s = jnp.einsum(
+            "bfnhd,bgnhd->bnhfg", q5, k5, preferred_element_type=jnp.float32
+        ) * scale
+        s = s + bias[None, None, None]
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bnhfg,bgnhd->bfnhd", p, v5)
+        return out.reshape(b, fq, n, c)
+
+    if _pick_block_n(n, fq + fk, c, q.dtype.itemsize) < 8:
+        return _oracle(q, k, v, bias)
+    return kernel_with_xla_vjp(_kernel_path, _oracle)(q, k, v, bias)

@@ -50,10 +50,19 @@ _MODES = ("normal", "sparse_causal", "motion_frame", "dense")
 
 
 def _pick_blocks(n: int, c: int, itemsize: int, kv_streams: int, heads: int = 8):
+    """(block_q, block_k) for kernels whose q and kv token counts are both
+    ``n`` (the in-kernel frame-selection variants)."""
+    return _pick_blocks_qk(n, n, c, itemsize, kv_streams, heads)
+
+
+def _pick_blocks_qk(
+    nq: int, nk: int, c: int, itemsize: int, kv_streams: int, heads: int = 8
+):
     """(block_q, block_k) fitting VMEM for a kernel with ``kv_streams``
     K/V-sized input streams (2 for plain attention, 4 for injection), or
-    None if no candidate divides n. Budget: double-buffered in/out blocks +
-    fp32 acc/l scratch + live fp32 score tiles, under ~10MB of 16MB VMEM.
+    None if no candidate divides nq/nk. Budget: double-buffered in/out
+    blocks + fp32 acc/l scratch + live fp32 score tiles, under ~10MB of
+    16MB VMEM.
 
     Live-tile counts are calibrated against measured Mosaic stack OOMs:
     bf16 kernels keep ~2 (plain: s, p) / ~4 (injection src phase: s,
@@ -64,7 +73,7 @@ def _pick_blocks(n: int, c: int, itemsize: int, kv_streams: int, heads: int = 8)
     for bq, bk in (
         (512, 1024), (512, 512), (256, 512), (256, 256), (128, 256), (128, 128)
     ):
-        if bq > n or bk > n or n % bq or n % bk:
+        if bq > nq or bk > nk or nq % bq or nk % bk:
             continue
         io = itemsize * c * (2 * bq + kv_streams * bk) * 2
         scratch = 4 * c * bq + 2 * 4 * 128 * bq
@@ -637,6 +646,262 @@ def video_injection_attention(
         m = motion_frame_mask(mask[..., None]).astype(k_mf.dtype)  # [F, 2N, 1]
         k_inj = jnp.concatenate([k_mf * m, k_mf * (1.0 - m), k_tgt], axis=2)
         v_inj = jnp.concatenate([v_mf, v_mf, v_tgt], axis=2)
+        out = sdpa(
+            split_heads(q_tgt, heads),
+            split_heads(k_inj, heads),
+            split_heads(v_inj, heads),
+            scale, use_flash=False,
+        )
+        return merge_heads(out)
+
+    return kernel_with_xla_vjp(_kernel_path, _oracle)(
+        q_tgt, k_src, v_src, k_tgt, v_tgt, mask
+    )
+
+
+# ---------------------------------------------------------------------------
+# explicit-KV variants (the frame-sharded hot path)
+#
+# Under a frame-sharded mesh the in-kernel frame-selection index maps above
+# cannot reach across device boundaries, so the shard_map wrappers in
+# parallel/flash_sharding.py build each frame's K/V source EXPLICITLY with
+# collectives (ppermute halo for the prev frame, all-gather for frame 0 /
+# dense) and hand the kernels identity-mapped [B, Fk, M, C] sources. Same
+# kernel bodies, different index maps. Fk == F means per-frame K/V; Fk == 1
+# means one shared source for all frames (the dense / all-gathered case).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "heads", "block_q", "block_k", "interpret"),
+)
+def _video_flash_kv(q, k, v, scale: float, heads: int,
+                    block_q: int, block_k: int, interpret: bool):
+    b, f, n, c = q.shape
+    fk, m = k.shape[1], k.shape[2]
+    nomax = q.dtype == jnp.bfloat16
+    q_scale = scale * _LOG2E if nomax else scale
+    qs = (q.astype(jnp.float32) * q_scale).astype(q.dtype)
+
+    grid = (b * f, n // block_q, m // block_k)
+
+    def q_idx(bfi, qi, ki):
+        return (bfi // f, bfi % f, qi, 0)
+
+    if fk == 1:
+        def kv_idx(bfi, qi, ki):
+            return (bfi // f, 0, ki, 0)
+    else:
+        def kv_idx(bfi, qi, ki):
+            return (bfi // f, bfi % f, ki, 0)
+
+    if nomax:
+        kernel = functools.partial(_kernel_nomax, heads=heads)
+        scratch = [
+            pltpu.VMEM((block_q, c), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(_kernel_maxsafe, heads=heads)
+        scratch = [
+            pltpu.VMEM((block_q, c), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, c), q_idx),
+            pl.BlockSpec((1, 1, block_k, c), kv_idx),
+            pl.BlockSpec((1, 1, block_k, c), kv_idx),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, c), q_idx),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(qs, k, v)
+
+
+def video_flash_kv_supported(
+    nq: int, m: int, c: int, heads: int, itemsize: int = 4, injection: bool = False
+) -> bool:
+    """Gate for the explicit-KV kernels (q tokens nq, kv tokens m)."""
+    return (
+        c % heads == 0
+        and (c // heads) % 8 == 0
+        and _pick_blocks_qk(
+            nq, m, c, itemsize, kv_streams=4 if injection else 2, heads=heads
+        )
+        is not None
+    )
+
+
+def video_flash_attention_kv(
+    q: jnp.ndarray,      # [B, F, N, C]
+    k: jnp.ndarray,      # [B, Fk, M, C], Fk in {1, F}
+    v: jnp.ndarray,
+    scale: float,
+    heads: int,
+) -> jnp.ndarray:
+    """Packed-head flash attention with an EXPLICIT per-frame K/V source
+    (see section comment). Differentiable via a frame-chunked XLA oracle —
+    inside shard_map the oracle's VJP flows back through the halo
+    collectives that built k/v (ppermute/all-gather transposes)."""
+    from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
+    from motioneditor_tpu.ops.flop_count import add_kernel_flops
+
+    b, f, n, c = q.shape
+    fk, m = k.shape[1], k.shape[2]
+    add_kernel_flops(2 * 2 * b * f * n * m * c)
+    blocks = _pick_blocks_qk(n, m, c, q.dtype.itemsize, kv_streams=2, heads=heads)
+    if blocks is None:
+        raise ValueError(
+            f"video_flash_attention_kv: no VMEM-feasible blocking for nq={n}, "
+            f"m={m}, c={c} — gate calls with video_flash_kv_supported()"
+        )
+    bq, bk = blocks
+    interpret = jax.default_backend() != "tpu"
+
+    def _kernel_path(q, k, v):
+        return _video_flash_kv(q, k, v, float(scale), heads, bq, bk, interpret)
+
+    def _oracle(q, k, v):
+        from motioneditor_tpu.ops.attention import merge_heads, sdpa, split_heads
+
+        @jax.checkpoint
+        def frame_attn(qf, kf, vf):
+            out = sdpa(
+                split_heads(qf, heads), split_heads(kf, heads),
+                split_heads(vf, heads), scale, use_flash=False,
+            )
+            return merge_heads(out)
+
+        def body(fi):
+            qf = jnp.take(q, fi, axis=1)
+            kf = jnp.take(k, jnp.minimum(fi, fk - 1), axis=1)
+            vf = jnp.take(v, jnp.minimum(fi, fk - 1), axis=1)
+            return frame_attn(qf, kf, vf)
+
+        out = jax.lax.map(body, jnp.arange(f))  # [F, B, n, C]
+        return jnp.swapaxes(out, 0, 1)
+
+    return kernel_with_xla_vjp(_kernel_path, _oracle)(q, k, v)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "heads", "block_q", "block_k", "interpret"),
+)
+def _video_injection_kv(q, k_src, v_src, mask, k_tgt, v_tgt, scale: float,
+                        heads: int, block_q: int, block_k: int, interpret: bool):
+    b, f, n, c = q.shape
+    m_src = k_src.shape[2]
+    nomax = q.dtype == jnp.bfloat16
+    q_scale = scale * _LOG2E if nomax else scale
+    qs = (q.astype(jnp.float32) * q_scale).astype(q.dtype)
+
+    nb_src = m_src // block_k
+    nb_tgt = n // block_k
+    grid = (b * f, n // block_q, nb_src + nb_tgt)
+
+    def q_idx(bfi, qi, ki):
+        return (bfi // f, bfi % f, qi, 0)
+
+    def src_idx(bfi, qi, ki):
+        blk = jnp.where(ki < nb_src, ki, nb_src - 1)  # clamp in tgt phase
+        return (bfi // f, bfi % f, blk, 0)
+
+    def mask_idx(bfi, qi, ki):
+        blk = jnp.where(ki < nb_src, ki, nb_src - 1)
+        return ((bfi % f) * nb_src + blk, 0, 0)
+
+    def tgt_idx(bfi, qi, ki):
+        blk = jnp.where(ki >= nb_src, ki - nb_src, 0)
+        return (bfi // f, bfi % f, blk, 0)
+
+    mask3 = mask.reshape(f * nb_src, 1, block_k)
+
+    if nomax:
+        kernel = functools.partial(
+            _inj_kernel_nomax, heads=heads, n_src_blocks=nb_src
+        )
+        scratch = [
+            pltpu.VMEM((block_q, c), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(
+            _inj_kernel_maxsafe, heads=heads, n_src_blocks=nb_src
+        )
+        scratch = [
+            pltpu.VMEM((block_q, c), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, c), q_idx),
+            pl.BlockSpec((1, 1, block_k, c), src_idx),
+            pl.BlockSpec((1, 1, block_k, c), src_idx),
+            pl.BlockSpec((1, 1, block_k), mask_idx),
+            pl.BlockSpec((1, 1, block_k, c), tgt_idx),
+            pl.BlockSpec((1, 1, block_k, c), tgt_idx),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, c), q_idx),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(qs, k_src, v_src, mask3, k_tgt, v_tgt)
+
+
+def video_injection_attention_kv(
+    q_tgt: jnp.ndarray,   # [B, F, N, C] target-row queries
+    k_src: jnp.ndarray,   # [B, F, M, C] EXPLICIT source K (e.g. [prev|cur])
+    v_src: jnp.ndarray,
+    k_tgt: jnp.ndarray,   # [B, F, N, C] target-row keys (current frame)
+    v_tgt: jnp.ndarray,
+    mask: jnp.ndarray,    # [F, M] fg mask aligned with k_src's token axis
+    scale: float,
+    heads: int,
+) -> jnp.ndarray:
+    """fg/bg injection attention with an explicit source K/V (the sharded
+    twin of video_injection_attention: softmax over [K_src*m, K_src*(1-m),
+    K_tgt], values [V_src, V_src, V_tgt], fully_control.py:372-422)."""
+    from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
+    from motioneditor_tpu.ops.flop_count import add_kernel_flops
+
+    b, f, n, c = q_tgt.shape
+    m_src = k_src.shape[2]
+    add_kernel_flops(2 * 2 * b * f * n * (m_src + n) * c)
+    blocks = _pick_blocks_qk(
+        n, min(m_src, n), c, q_tgt.dtype.itemsize, kv_streams=4, heads=heads
+    )
+    if blocks is None or m_src % blocks[1]:
+        raise ValueError(
+            f"video_injection_attention_kv: no VMEM-feasible blocking for "
+            f"n={n}, m={m_src}, c={c}"
+        )
+    bq, bk = blocks
+    interpret = jax.default_backend() != "tpu"
+
+    def _kernel_path(q_tgt, k_src, v_src, k_tgt, v_tgt, mask):
+        return _video_injection_kv(
+            q_tgt, k_src, v_src, mask.astype(jnp.float32), k_tgt, v_tgt,
+            float(scale), heads, bq, bk, interpret,
+        )
+
+    def _oracle(q_tgt, k_src, v_src, k_tgt, v_tgt, mask):
+        from motioneditor_tpu.ops.attention import merge_heads, sdpa, split_heads
+
+        m = mask[None, ..., None].astype(k_src.dtype)  # [1, F, M, 1]
+        k_inj = jnp.concatenate([k_src * m, k_src * (1.0 - m), k_tgt], axis=2)
+        v_inj = jnp.concatenate([v_src, v_src, v_tgt], axis=2)
         out = sdpa(
             split_heads(q_tgt, heads),
             split_heads(k_inj, heads),

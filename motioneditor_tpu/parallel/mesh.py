@@ -23,6 +23,16 @@ collective-permutes (the sparse-causal/motion-frame 1-frame halos) and
 64 bounded all-gathers (temporal attention / temporal conv K/V over the
 small frame axis) — i.e. the per-frame attention traffic rides neighbor
 exchanges on ICI, not full gathers.
+
+Two execution paths under the mesh:
+  - GSPMD (use_flash=False): XLA lowers the jnp attention; the halos above
+    are inserted automatically.
+  - sharded kernels (use_flash=True + shard_ctx): the Pallas flash kernels
+    run per frame shard through shard_map with the same halo collectives
+    written explicitly (parallel/flash_sharding.py) — GSPMD cannot
+    partition a pallas_call, so without this the kernels would replicate.
+    Parity + train-step equivalence guarded by sharding_runner
+    case_flash_* and exercised by the driver dryrun's (1, N) pass.
 """
 
 from __future__ import annotations

@@ -5,14 +5,18 @@ this is the TPU-native optional extra: shard the attention head dimension and
 the FF hidden dimension over a ``model`` mesh axis and let GSPMD insert the
 collectives. The column/row split is the classic pair:
 
-  column-parallel (output features sharded): attn to_q/to_k/to_v, FF proj_in
-  row-parallel (input features sharded):     attn to_out, FF proj_out
+  column-parallel (output features sharded): attn to_q/to_k/to_v
+  row-parallel (input features sharded):     attn to_out
 
-so within one attention or FF the activation stays head-sharded between the
-two projections and GSPMD reduces (psum over ``model``) only at the
-row-parallel output — one all-reduce per attn/FF, the Megatron pattern. All
+so within one attention the activation stays head-sharded between the two
+projections and GSPMD reduces (psum over ``model``) only at the row-parallel
+output — one all-reduce per attention, the Megatron pattern. The GEGLU FF is
+left REPLICATED: its proj_in kernel stores [h | gate] contiguously
+(layers.py:224/231 splits at inner), so a contiguous column shard puts h on
+some devices and gate on others and the elementwise h*gelu(gate) forces a
+reshard inside the FF — sharding it would add traffic, not remove it. All
 other parameters (convs, norms, embeddings) are replicated; SD-1.5's conv
-trunk is small enough that replicating it costs <2GB while the attention/FF
+trunk is small enough that replicating it costs <2GB while the attention
 stack carries most of the FLOPs at the inner resolutions.
 
 These are layout *hints*: GSPMD guarantees the same logical result for any
@@ -37,8 +41,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from motioneditor_tpu.parallel.mesh import MODEL_AXIS
 
 # parent-key name -> which axis of the 2D kernel is model-sharded
-_COLUMN = ("to_q", "to_k", "to_v")  # + FF proj_in (disambiguated by path)
-_ROW = ("to_out",)  # + FF proj_out
+# (FF proj_in/proj_out stay replicated — GEGLU split layout, see docstring)
+_COLUMN = ("to_q", "to_k", "to_v")
+_ROW = ("to_out",)
 
 
 def _dict_keys(path) -> list:
@@ -50,9 +55,8 @@ def _spec_for(path, leaf) -> P:
     if len(names) < 2:
         return P()
     last, parent = names[-1], names[-2]
-    in_ff = "ff" in names
-    column = parent in _COLUMN or (in_ff and parent == "proj_in")
-    row = parent in _ROW or (in_ff and parent == "proj_out")
+    column = parent in _COLUMN
+    row = parent in _ROW
     if last == "kernel" and getattr(leaf, "ndim", 0) == 2:
         if column:
             return P(None, MODEL_AXIS)

@@ -65,6 +65,10 @@ class MotionEditorPipeline:
     text_config: CLIPTextConfig = CLIPTextConfig()
     schedule: DiffusionSchedule = DiffusionSchedule()
     use_flash: bool = True
+    # frame-sharded kernel execution under a mesh (FrameShardingCtx or None):
+    # threaded into every jitted phase so the Pallas kernels run per frame
+    # shard via shard_map instead of being replicated by GSPMD
+    shard_ctx: object = None
     # UNet compute dtype for null-text optimization; the embedding/Adam/DDIM
     # math always stays fp32 (see _jit_null_optimization). "float32" is the
     # parity knob matching the reference's A100-default fp32 phase.
@@ -111,7 +115,8 @@ class MotionEditorPipeline:
         cond = self.encode_prompt([prompt])
         ts = jnp.asarray(self.schedule.inference_timesteps(num_inv_steps))
         fn = _jit_ddim_invert(
-            self.unet_config, self.schedule, num_inv_steps, normal_infer, self.use_flash
+            self.unet_config, self.schedule, num_inv_steps, normal_infer,
+            self.use_flash, self.shard_ctx,
         )
         final, all_latents = fn(self.unet_params, latents, cond, ts)
         if return_all:
@@ -140,7 +145,8 @@ class MotionEditorPipeline:
         uncond0 = self.encode_prompt([""])
         ts = jnp.asarray(self.schedule.inference_timesteps(num_steps))
         inv_fn = _jit_ddim_invert(
-            self.unet_config, self.schedule, num_steps, null_normal_infer, self.use_flash
+            self.unet_config, self.schedule, num_steps, null_normal_infer,
+            self.use_flash, self.shard_ctx,
         )
         x_t, all_latents = inv_fn(self.unet_params, latents, cond, ts)
         opt_fn = _jit_null_optimization(
@@ -152,6 +158,7 @@ class MotionEditorPipeline:
             guidance_scale,
             self.use_flash,
             self.null_text_dtype,
+            self.shard_ctx,
         )
         uncond_list = opt_fn(self.unet_params, all_latents, cond, uncond0, ts)
         return x_t, uncond_list
@@ -261,6 +268,7 @@ class MotionEditorPipeline:
                 p2p_controller,
                 local_blend,
                 lo if (p2p_controller is not None or local_blend is not None) else 0,
+                self.shard_ctx,
             )
             seg_uncond = (
                 per_step_uncond[lo:hi]
@@ -290,7 +298,8 @@ class MotionEditorPipeline:
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_ddim_invert(unet_config, schedule, num_steps, normal_infer, use_flash):
+def _jit_ddim_invert(unet_config, schedule, num_steps, normal_infer, use_flash,
+                     shard_ctx=None):
     def run(unet_params, latents, cond, ts):
         cond_b = jnp.broadcast_to(cond, (latents.shape[0],) + cond.shape[1:])
 
@@ -304,6 +313,7 @@ def _jit_ddim_invert(unet_config, schedule, num_steps, normal_infer, use_flash):
                 cond_b,
                 normal_infer=normal_infer,
                 use_flash=use_flash,
+                shard_ctx=shard_ctx,
             )
             nxt = ddim_inverse_step(schedule, eps, t, lat, num_steps)
             return nxt, nxt
@@ -319,7 +329,7 @@ def _jit_ddim_invert(unet_config, schedule, num_steps, normal_infer, use_flash):
 @functools.lru_cache(maxsize=None)
 def _jit_null_optimization(
     unet_config, schedule, num_steps, inner_steps, base_lr, guidance_scale,
-    use_flash, compute_dtype="float32",
+    use_flash, compute_dtype="float32", shard_ctx=None,
 ):
     """Per-timestep Adam on the uncond embedding pinning the CFG trajectory
     to the inversion trajectory (null_text_optimization.py:136-169).
@@ -339,7 +349,7 @@ def _jit_null_optimization(
         def eps_fn(lat, t, emb):
             return unet_apply(
                 unet_params, unet_config, lat.astype(cdt), t, emb.astype(cdt),
-                normal_infer=False, use_flash=use_flash,
+                normal_infer=False, use_flash=use_flash, shard_ctx=shard_ctx,
             ).astype(jnp.float32)
 
         def step_body(carry, i):
@@ -414,6 +424,7 @@ def _jit_denoise_segment(
     p2p_controller=None,
     local_blend=None,
     seg_lo=0,
+    shard_ctx=None,
 ):
     """One contiguous timestep range of the two-branch denoise loop
     (pipeline:603-654) with static injection gating.
@@ -479,6 +490,7 @@ def _jit_denoise_segment(
                 mid_block_additional_residual=mid4,
                 use_flash=use_flash,
                 prob_editor=editor,
+                shard_ctx=shard_ctx,
             )
             if local_blend is not None:
                 step_maps: list = []

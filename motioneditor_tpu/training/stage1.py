@@ -24,7 +24,8 @@ TRAINABLE_MODULES = ("attn1.to_q", "attn2.to_q", "attn_temp")
 @functools.partial(
     jax.jit,
     static_argnames=("unet_config", "schedule", "optimizer", "prediction_type",
-                     "use_flash", "remat", "compute_dtype", "accum_steps"),
+                     "use_flash", "remat", "compute_dtype", "accum_steps",
+                     "shard_ctx"),
     donate_argnames=("state",),
 )
 def train_step_stage1(
@@ -40,6 +41,7 @@ def train_step_stage1(
     remat: bool = True,
     compute_dtype=None,
     accum_steps: int = 1,
+    shard_ctx=None,
 ) -> Tuple[TrainState, dict]:
     """latents: [B, F, h, w, 4] (VAE-encoded source video x0.18215);
     encoder_hidden_states: [B, 77, 768] prompt embedding.
@@ -67,7 +69,8 @@ def train_step_stage1(
         x_in = noisy if compute_dtype is None else noisy.astype(compute_dtype)
         params = combine_params(trainable, state.frozen)
         pred = unet_apply(
-            params, unet_config, x_in, t, enc_in, use_flash=use_flash, remat=remat
+            params, unet_config, x_in, t, enc_in, use_flash=use_flash, remat=remat,
+            shard_ctx=shard_ctx,
         )
         return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
 

@@ -28,7 +28,7 @@ TRAINABLE_MODULES = ("controlnet_adapter",)
     jax.jit,
     static_argnames=(
         "unet_config", "controlnet_config", "schedule", "optimizer",
-        "prediction_type", "use_flash", "remat", "compute_dtype",
+        "prediction_type", "use_flash", "remat", "compute_dtype", "shard_ctx",
     ),
     donate_argnames=("state",),
 )
@@ -47,6 +47,7 @@ def train_step_stage2(
     use_flash: bool = True,
     remat: bool = True,
     compute_dtype=None,
+    shard_ctx=None,
 ) -> Tuple[TrainState, dict]:
     """latents: [B, F, h, w, 4]; source_skeleton: [B, F, H, W, 3] in [0,1]."""
     rng_noise, rng_t = jax.random.split(rng)
@@ -94,6 +95,7 @@ def train_step_stage2(
             mid_block_additional_residual=mid_res,
             use_flash=use_flash,
             remat=remat,
+            shard_ctx=shard_ctx,
         )
         return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
 

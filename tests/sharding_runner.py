@@ -133,15 +133,17 @@ def case_collectives():
 
 
 def case_tensor_parallel():
-    """Megatron-style TP over a (1, 2, 2) (data, frames, model) mesh:
-    attention/FF weights column/row-sharded (parallel/tp.py) on top of frame
-    sharding. Output must match the replicated single-device forward, and
-    the program must psum over the model axis (all-reduce present)."""
+    """Megatron-style TP over a (1, 1, 2) (data, frames, model) mesh:
+    attention weights column/row-sharded (parallel/tp.py). Output must match
+    the replicated single-device forward, and the program must psum over the
+    model axis. The frame axis is deliberately UNSHARDED here so the model
+    axis is the only possible all-reduce source — an all-reduce in this HLO
+    proves the Megatron psum specifically (advisor round-2 finding)."""
     import re
 
     from motioneditor_tpu.parallel.tp import shard_params_tp, tp_param_shardings
 
-    mesh = create_mesh((1, 2, 2))
+    mesh = create_mesh((1, 1, 2))
     params = init_unet(jax.random.PRNGKey(0), TINY)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 16, 16, 4))
     enc = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16))
@@ -170,6 +172,178 @@ def case_tensor_parallel():
     print("tensor_parallel OK")
 
 
+def _flash_parity(fp: int, dtype, modes=("normal", "sparse_causal", "motion_frame", "dense")):
+    """Sharded kernel output == single-device XLA reference, per mode."""
+    from motioneditor_tpu.ops.attention import sdpa, select_kv, split_heads, merge_heads
+    from motioneditor_tpu.parallel.flash_sharding import (
+        FrameShardingCtx,
+        sharded_spatial_flash,
+    )
+
+    b, f, n, c, heads = 2, 8, 1024, 64, 8
+    mesh = create_mesh((1, fp))
+    ctx = FrameShardingCtx(mesh=mesh, batch_axis=None)
+    scale = (c // heads) ** -0.5
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = (jax.random.normal(kq, (b, f, n, c)) * 0.5).astype(dtype)
+    k = (jax.random.normal(kk, (b, f, n, c)) * 0.5).astype(dtype)
+    v = (jax.random.normal(kv, (b, f, n, c)) * 0.5).astype(dtype)
+
+    for mode in modes:
+        ref = sdpa(
+            split_heads(q, heads), split_heads(select_kv(k, mode), heads),
+            split_heads(select_kv(v, mode), heads), scale, use_flash=False,
+        )
+        ref = merge_heads(ref)
+        with mesh:
+            out = jax.jit(
+                lambda q, k, v, mode=mode: sharded_spatial_flash(
+                    q, k, v, mode, scale, heads, ctx
+                )
+            )(q, k, v)
+        assert out is not None, f"{mode}: sharded path unsupported"
+        tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=tol,
+            err_msg=f"mode={mode} fp={fp} dtype={dtype}",
+        )
+    print(f"flash_parity OK fp={fp} dtype={jnp.dtype(dtype).name}")
+
+
+def case_flash_spatial():
+    """Frame-sharded spatial flash kernels: parity on (1,4); fp=8 puts ONE
+    frame per device so every halo read crosses a device boundary."""
+    _flash_parity(4, jnp.float32)
+    _flash_parity(4, jnp.bfloat16)
+    _flash_parity(8, jnp.bfloat16)
+
+
+def case_flash_injection_temporal():
+    """Sharded injection + temporal kernels vs single-device references."""
+    from motioneditor_tpu.control.injection import motion_frame_mask
+    from motioneditor_tpu.ops.attention import (
+        MOTION_FRAME, sdpa, select_kv, split_heads, merge_heads,
+    )
+    from motioneditor_tpu.parallel.flash_sharding import (
+        FrameShardingCtx,
+        sharded_injection_flash,
+        sharded_temporal_flash,
+    )
+
+    b, f, n, c, heads = 2, 8, 1024, 64, 8
+    scale = (c // heads) ** -0.5
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 6)
+    mk = lambda i: jax.random.normal(ks[i], (b, f, n, c)) * 0.5
+    q_t, k_s, v_s, k_t, v_t = mk(0), mk(1), mk(2), mk(3), mk(4)
+    mask = (jax.random.uniform(ks[5], (f, n)) > 0.5).astype(jnp.float32)
+
+    # reference: fused fg/bg injection oracle (fully_control.py:372-422)
+    k_mf = select_kv(k_s, MOTION_FRAME)
+    v_mf = select_kv(v_s, MOTION_FRAME)
+    m = motion_frame_mask(mask[..., None])
+    k_inj = jnp.concatenate([k_mf * m, k_mf * (1.0 - m), k_t], axis=2)
+    v_inj = jnp.concatenate([v_mf, v_mf, v_t], axis=2)
+    ref = merge_heads(sdpa(
+        split_heads(q_t, heads), split_heads(k_inj, heads),
+        split_heads(v_inj, heads), scale, use_flash=False,
+    ))
+
+    for fp in (4, 8):
+        mesh = create_mesh((1, fp))
+        ctx = FrameShardingCtx(mesh=mesh, batch_axis=None)
+        with mesh:
+            out = jax.jit(
+                lambda *a: sharded_injection_flash(*a, scale, heads, ctx)
+            )(q_t, k_s, v_s, k_t, v_t, mask)
+        assert out is not None
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5,
+            err_msg=f"injection fp={fp}",
+        )
+
+    # temporal: causal mask must hold at GLOBAL frame indices
+    d = c // heads
+    q5 = q_t.reshape(b, f, n, heads, d)
+    k5 = k_s.reshape(b, f, n, heads, d)
+    v5 = v_s.reshape(b, f, n, heads, d)
+    s = jnp.einsum("bfnhd,bgnhd->bnhfg", q5, k5) * scale
+    s = jnp.where(jnp.tril(jnp.ones((f, f), bool)), s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    tref = jnp.einsum("bnhfg,bgnhd->bfnhd", p, v5).reshape(b, f, n, c)
+    for fp in (4, 8):
+        mesh = create_mesh((1, fp))
+        ctx = FrameShardingCtx(mesh=mesh, batch_axis=None)
+        with mesh:
+            out = jax.jit(
+                lambda q, k, v: sharded_temporal_flash(
+                    q, k, v, scale, heads, True, ctx
+                )
+            )(q_t, k_s, v_s)
+        assert out is not None
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(tref), atol=3e-5,
+            err_msg=f"temporal fp={fp}",
+        )
+    print("flash_injection_temporal OK")
+
+
+def case_train_step_flash():
+    """Stage-1 train step over a (2, 4) mesh with the SHARDED KERNEL hot
+    path (use_flash=True + shard_ctx): forward runs the Pallas kernels per
+    frame shard, backward flows through the XLA-oracle VJPs and the halo
+    collectives' transposes. Latents are 32x32 so level-0 attention (n=1024)
+    actually reaches the kernels."""
+    from motioneditor_tpu.parallel.flash_sharding import for_mesh
+    from motioneditor_tpu.schedulers import DiffusionSchedule
+    from motioneditor_tpu.training.common import make_optimizer, make_train_state
+    from motioneditor_tpu.training.stage1 import TRAINABLE_MODULES, train_step_stage1
+
+    cfg = UNetConfig(
+        block_out_channels=(32, 64, 64, 64),
+        norm_num_groups=8,
+        attention_heads=4,
+        cross_attention_dim=16,
+    )
+    mesh = create_mesh((2, 4))
+    ctx = for_mesh(mesh)
+    assert ctx is not None and ctx.fp == 4
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer()
+    state = make_train_state(params, list(TRAINABLE_MODULES), optimizer)
+    latents = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 32, 32, 4)) * 0.2
+    enc = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 16))
+    lat_s = jax.device_put(
+        latents, NamedSharding(mesh, P(DATA_AXIS, FRAME_AXIS, None, None, None))
+    )
+    enc_s = jax.device_put(enc, NamedSharding(mesh, P(DATA_AXIS, None, None)))
+    # deep-copy before device_put: the train step donates its state, and
+    # device_put to a compatible sharding aliases rather than copies
+    state_copy = jax.tree_util.tree_map(
+        lambda x: jnp.array(x) if hasattr(x, "dtype") else x, state
+    )
+    state_s = jax.device_put(state_copy, NamedSharding(mesh, P()))
+
+    # reference: identical step on one device, no sharding, same kernels off
+    _, ref_metrics = train_step_stage1(
+        state, latents, enc, jax.random.PRNGKey(3),
+        unet_config=cfg, schedule=DiffusionSchedule(), optimizer=make_optimizer(),
+        use_flash=False, remat=False,
+    )
+    with mesh:
+        _, metrics = train_step_stage1(
+            state_s, lat_s, enc_s, jax.random.PRNGKey(3),
+            unet_config=cfg, schedule=DiffusionSchedule(), optimizer=optimizer,
+            use_flash=True, remat=False, shard_ctx=ctx,
+        )
+        jax.block_until_ready(metrics["loss"])
+    ref_loss, loss = float(ref_metrics["loss"]), float(metrics["loss"])
+    assert np.isfinite(loss)
+    np.testing.assert_allclose(loss, ref_loss, rtol=1e-4)
+    print(f"train_step_flash OK loss={loss:.6f} (ref {ref_loss:.6f})")
+
+
 if __name__ == "__main__":
     {
         "frame_sharded_forward": case_frame_sharded_forward,
@@ -177,4 +351,7 @@ if __name__ == "__main__":
         "dryrun": case_dryrun,
         "collectives": case_collectives,
         "tensor_parallel": case_tensor_parallel,
+        "flash_spatial": case_flash_spatial,
+        "flash_injection_temporal": case_flash_injection_temporal,
+        "train_step_flash": case_train_step_flash,
     }[sys.argv[1]]()

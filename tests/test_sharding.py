@@ -55,3 +55,23 @@ def test_frame_sharded_collective_pattern():
     the frame-global ops (temporal attention/conv K/V)."""
     out = _run("collectives")
     assert "collectives OK" in out
+
+
+def test_sharded_flash_spatial_kernels():
+    """Pallas spatial kernels execute per frame shard through shard_map
+    (explicit halo collectives) and match the single-device XLA reference —
+    including fp=8 where every halo crosses a device boundary."""
+    out = _run("flash_spatial")
+    assert out.count("flash_parity OK") == 3
+
+
+def test_sharded_flash_injection_and_temporal_kernels():
+    out = _run("flash_injection_temporal")
+    assert "flash_injection_temporal OK" in out
+
+
+def test_sharded_flash_train_step():
+    """Train step on the sharded-kernel hot path reproduces the unsharded
+    reference loss (backward flows through the halo collectives)."""
+    out = _run("train_step_flash")
+    assert "train_step_flash OK" in out
