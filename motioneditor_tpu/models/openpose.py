@@ -96,14 +96,39 @@ def init_body_params(key) -> Dict:
     return params
 
 
+def _body_module_for_layer(layer: str) -> str:
+    """Derive the torch sub-module name from a body layer name — the
+    on-disk ``body_pose_model.pth`` (lllyasviel/Annotators) stores
+    prefix-STRIPPED keys (``conv1_1.weight``); the reference stack re-adds
+    the module prefix via util.transfer() against model.state_dict()."""
+    if layer.startswith(("conv1_", "conv2_", "conv3_", "conv4_")):
+        return "model0"
+    if layer.startswith("conv5_") and "_CPM_L" in layer:
+        return f"model1_{layer.rsplit('L', 1)[1]}"
+    if layer.startswith("Mconv") and "_stage" in layer:
+        stage, branch = layer.rsplit("_stage", 1)[1].split("_L")
+        return f"model{stage}_{branch}"
+    raise ValueError(f"unexpected body checkpoint layer {layer!r}")
+
+
 def convert_body_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
-    """pytorch-openpose Body state dict (OIHW) -> param pytree (HWIO)."""
+    """pytorch-openpose Body state dict (OIHW) -> param pytree (HWIO).
+
+    Accepts BOTH key layouts: the module-prefixed form a torch mirror's
+    state_dict() emits (``model0.conv1_1.weight``) and the prefix-stripped
+    form the real checkpoint stores (``conv1_1.weight``,
+    ``Mconv1_stage2_L1.weight``) — the layer name alone determines the
+    module (see _body_module_for_layer)."""
     params: Dict = {}
     for key, value in sd.items():
         parts = key.split(".")
-        if len(parts) != 3 or parts[2] not in ("weight", "bias"):
+        if len(parts) == 3 and parts[2] in ("weight", "bias"):
+            mod, layer, kind = parts
+        elif len(parts) == 2 and parts[1] in ("weight", "bias"):
+            layer, kind = parts
+            mod = _body_module_for_layer(layer)
+        else:
             raise ValueError(f"unexpected body checkpoint key {key!r}")
-        mod, layer, kind = parts
         value = np.asarray(value)
         entry = params.setdefault(mod, {}).setdefault(layer, {})
         if kind == "weight":
@@ -424,3 +449,416 @@ def load_body_params(path: str) -> Dict:
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return convert_body_state_dict({k: v.numpy() for k, v in sd.items()})
+
+
+# ===========================================================================
+# hand keypoint network (pytorch-openpose hand.py — the controlnet_aux
+# OpenposeDetector's hand_and_face=True path; the SHIPPED reference configs
+# run hand_and_face=False at data_preparation/video_skeletons.py:78, so this
+# is optional capability surface, default-off to match)
+# ===========================================================================
+
+N_HAND = 22  # 21 keypoints + background
+
+_HAND_STEM: Tuple = (
+    ("conv1_1", 3, 64, 3), ("conv1_2", 64, 64, 3), "pool1",
+    ("conv2_1", 64, 128, 3), ("conv2_2", 128, 128, 3), "pool2",
+    ("conv3_1", 128, 256, 3), ("conv3_2", 256, 256, 3),
+    ("conv3_3", 256, 256, 3), ("conv3_4", 256, 256, 3), "pool3",
+    ("conv4_1", 256, 512, 3), ("conv4_2", 512, 512, 3),
+    ("conv4_3", 512, 512, 3), ("conv4_4", 512, 512, 3),
+    ("conv5_1", 512, 512, 3), ("conv5_2", 512, 512, 3),
+    ("conv5_3_CPM", 512, 128, 3),
+)
+_HAND_STAGE1 = [("conv6_1_CPM", 128, 512, 1), ("conv6_2_CPM", 512, N_HAND, 1)]
+
+
+def _hand_stageT_layers(stage: int) -> List[Tuple[str, int, int, int]]:
+    s = f"_stage{stage}"
+    cin = N_HAND + 128
+    return [
+        (f"Mconv1{s}", cin, 128, 7), (f"Mconv2{s}", 128, 128, 7),
+        (f"Mconv3{s}", 128, 128, 7), (f"Mconv4{s}", 128, 128, 7),
+        (f"Mconv5{s}", 128, 128, 7), (f"Mconv6{s}", 128, 128, 1),
+        (f"Mconv7{s}", 128, N_HAND, 1),
+    ]
+
+
+def init_hand_params(key) -> Dict:
+    params: Dict = {"model1_0": {}, "model1_1": {}}
+    for item in _HAND_STEM:
+        if isinstance(item, str):
+            continue
+        name, cin, cout, k = item
+        key, sub = jax.random.split(key)
+        params["model1_0"][name] = init_conv2d(sub, cin, cout, k)
+    for name, cin, cout, k in _HAND_STAGE1:
+        key, sub = jax.random.split(key)
+        params["model1_1"][name] = init_conv2d(sub, cin, cout, k)
+    for stage in range(2, 7):
+        mod = f"model{stage}"
+        params[mod] = {}
+        for name, cin, cout, k in _hand_stageT_layers(stage):
+            key, sub = jax.random.split(key)
+            params[mod][name] = init_conv2d(sub, cin, cout, k)
+    return params
+
+
+def _hand_module_for_layer(layer: str) -> str:
+    if layer.startswith(("conv1_", "conv2_", "conv3_", "conv4_", "conv5_")):
+        return "model1_0"
+    if layer.startswith("conv6_"):
+        return "model1_1"
+    if layer.startswith("Mconv") and "_stage" in layer:
+        return f"model{layer.rsplit('_stage', 1)[1]}"
+    raise ValueError(f"unexpected hand checkpoint layer {layer!r}")
+
+
+def convert_hand_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """hand_pose_model.pth (OIHW; prefixed or prefix-stripped keys) -> pytree."""
+    params: Dict = {}
+    for key, value in sd.items():
+        parts = key.split(".")
+        if len(parts) == 3 and parts[2] in ("weight", "bias"):
+            mod, layer, kind = parts
+        elif len(parts) == 2 and parts[1] in ("weight", "bias"):
+            layer, kind = parts
+            mod = _hand_module_for_layer(layer)
+        else:
+            raise ValueError(f"unexpected hand checkpoint key {key!r}")
+        value = np.asarray(value)
+        entry = params.setdefault(mod, {}).setdefault(layer, {})
+        if kind == "weight":
+            entry["kernel"] = jnp.asarray(value.transpose(2, 3, 1, 0))
+        else:
+            entry["bias"] = jnp.asarray(value)
+    return params
+
+
+def _run_hand_layers(params, layers, x, last_no_relu: str):
+    for item in layers:
+        if isinstance(item, str):
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+            continue
+        name = item[0]
+        x = conv2d(params[name], x, padding=item[3] // 2)
+        if name != last_no_relu:
+            x = jax.nn.relu(x)
+    return x
+
+
+def hand_forward(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, H, W, 3] (H, W multiples of 8), ``img/256 - 0.5``.
+    Returns the stage-6 heatmaps [B, H/8, W/8, 22] (hand.py forward:
+    out1_0 stem -> stage-1 -> cat([out, feat]) refinement x5; the stage-1
+    cat order is [heatmap, features])."""
+    feat = _run_hand_layers(params["model1_0"], _HAND_STEM, x, last_no_relu="")
+    out = _run_hand_layers(
+        params["model1_1"], _HAND_STAGE1, feat, last_no_relu="conv6_2_CPM"
+    )
+    for stage in range(2, 7):
+        inp = jnp.concatenate([out, feat], axis=-1)
+        out = _run_hand_layers(
+            params[f"model{stage}"], _hand_stageT_layers(stage), inp,
+            last_no_relu=f"Mconv7_stage{stage}",
+        )
+    return out
+
+
+_jit_hand_forward = jax.jit(hand_forward)
+
+
+def estimate_hand(
+    params: Dict,
+    image_rgb: np.ndarray,
+    boxsize: int = 368,
+    scale_search: Sequence[float] = (0.5, 1.0, 1.5, 2.0),
+    thre: float = 0.05,
+) -> np.ndarray:
+    """Hand keypoints on one cropped hand image (hand.py __call__): multi-
+    scale heatmap averaging, then per-part gaussian blur + largest connected
+    component + argmax. Returns [21, 2] (x, y) with (0, 0) for misses."""
+    from scipy.ndimage import label as cc_label
+
+    ori_h, ori_w = image_rgb.shape[:2]
+    heat_avg = np.zeros((ori_h, ori_w, N_HAND), np.float64)
+    for scale in [s * boxsize / ori_h for s in scale_search]:
+        h, w = int(round(ori_h * scale)), int(round(ori_w * scale))
+        img = _resize_np(image_rgb.astype(np.float32), h, w) / 256.0 - 0.5
+        img, _ = _pad_to_stride(img, pad_value=0.0)
+        heat = np.asarray(_jit_hand_forward(params, jnp.asarray(img)[None])[0])
+        heat = _resize_np(heat, img.shape[0], img.shape[1])[:h, :w]
+        heat_avg += _resize_np(heat, ori_h, ori_w) / len(scale_search)
+
+    peaks = np.zeros((N_HAND - 1, 2), np.float64)
+    for part in range(N_HAND - 1):
+        map_ori = heat_avg[:, :, part].copy()
+        blurred = gaussian_blur(map_ori, sigma=3.0)
+        binary = blurred > thre
+        if not binary.any():
+            continue
+        labels, n_labels = cc_label(binary)
+        sums = [map_ori[labels == i].sum() for i in range(1, n_labels + 1)]
+        best = int(np.argmax(sums)) + 1
+        map_ori[labels != best] = 0
+        y, x = np.unravel_index(np.argmax(map_ori), map_ori.shape)
+        peaks[part] = (x, y)
+    return peaks
+
+
+def hand_detect(candidate: np.ndarray, subset: np.ndarray, height: int, width: int):
+    """Hand box proposals from body keypoints (pytorch-openpose
+    util.handDetect): box centered past the wrist along the elbow->wrist
+    direction, width from wrist-elbow / elbow-shoulder distances. Returns
+    [(x, y, w, is_left), ...]."""
+    ratio_wrist_elbow = 0.33
+    results = []
+    for person in subset.astype(int):
+        hands = []
+        if np.all(person[[5, 6, 7]] >= 0):  # left shoulder/elbow/wrist
+            hands.append((*candidate[person[5]][:2], *candidate[person[6]][:2],
+                          *candidate[person[7]][:2], True))
+        if np.all(person[[2, 3, 4]] >= 0):  # right
+            hands.append((*candidate[person[2]][:2], *candidate[person[3]][:2],
+                          *candidate[person[4]][:2], False))
+        for x1, y1, x2, y2, x3, y3, is_left in hands:
+            x = x3 + ratio_wrist_elbow * (x3 - x2)
+            y = y3 + ratio_wrist_elbow * (y3 - y2)
+            d_we = math.hypot(x3 - x2, y3 - y2)
+            d_es = math.hypot(x2 - x1, y2 - y1)
+            w = 1.5 * max(d_we, 0.9 * d_es)
+            x, y = x - w / 2, y - w / 2
+            if x < 0:
+                w += x; x = 0
+            if y < 0:
+                w += y; y = 0
+            w = min(w, width - x, height - y)
+            if w >= 20:
+                results.append((int(x), int(y), int(w), is_left))
+    return results
+
+
+# controlnet_aux util.draw_handpose edge list + hsv edge coloring
+_HAND_EDGES = [
+    [0, 1], [1, 2], [2, 3], [3, 4], [0, 5], [5, 6], [6, 7], [7, 8], [0, 9],
+    [9, 10], [10, 11], [11, 12], [0, 13], [13, 14], [14, 15], [15, 16],
+    [0, 17], [17, 18], [18, 19], [19, 20],
+]
+
+
+def _hsv_to_rgb(h: float) -> Tuple[int, int, int]:
+    i = int(h * 6.0) % 6
+    f = h * 6.0 - int(h * 6.0)
+    q, t = 1.0 - f, f
+    rgb = [(1, t, 0), (q, 1, 0), (0, 1, t), (0, q, 1), (t, 0, 1), (1, 0, q)][i]
+    return tuple(int(255 * c) for c in rgb)
+
+
+def _draw_line(canvas, x0, y0, x1, y1, color, thickness=2):
+    n = int(max(abs(x1 - x0), abs(y1 - y0))) + 1
+    xs = np.linspace(x0, x1, n)
+    ys = np.linspace(y0, y1, n)
+    h, w = canvas.shape[:2]
+    r = thickness // 2
+    for x, y in zip(xs, ys):
+        xi, yi = int(round(x)), int(round(y))
+        canvas[max(yi - r, 0):min(yi + r + 1, h),
+               max(xi - r, 0):min(xi + r + 1, w)] = color
+
+
+def draw_handpose(canvas: np.ndarray, peaks: np.ndarray, x0: int, y0: int):
+    """Render one hand's 21 keypoints onto the canvas in place
+    (controlnet_aux util.draw_handpose: hsv-colored bones + red joints)."""
+    for ie, (a, b) in enumerate(_HAND_EDGES):
+        pa, pb = peaks[a], peaks[b]
+        if (pa == 0).all() or (pb == 0).all():
+            continue
+        color = _hsv_to_rgb(ie / len(_HAND_EDGES))
+        _draw_line(canvas, pa[0] + x0, pa[1] + y0, pb[0] + x0, pb[1] + y0, color)
+    for p in peaks:
+        if (p == 0).all():
+            continue
+        _fill_ellipse(canvas, p[0] + x0, p[1] + y0, 4, 4, 0.0, (0, 0, 255))
+    return canvas
+
+
+# ===========================================================================
+# face landmark network (controlnet_aux open_pose/face.py FaceNet — same
+# optional hand_and_face surface as above)
+# ===========================================================================
+
+N_FACE = 71  # 70 landmarks + background
+
+_FACE_STEM: Tuple = _HAND_STEM  # identical VGG stem through conv5_3_CPM
+_FACE_STAGE1 = [("conv6_1_CPM", 128, 512, 1), ("conv6_2_CPM", 512, N_FACE, 1)]
+
+
+def _face_stageT_layers(stage: int) -> List[Tuple[str, int, int, int]]:
+    s = f"_stage{stage}"
+    cin = N_FACE + 128
+    return [
+        (f"Mconv1{s}", cin, 128, 7), (f"Mconv2{s}", 128, 128, 7),
+        (f"Mconv3{s}", 128, 128, 7), (f"Mconv4{s}", 128, 128, 7),
+        (f"Mconv5{s}", 128, 128, 7), (f"Mconv6{s}", 128, 128, 1),
+        (f"Mconv7{s}", 128, N_FACE, 1),
+    ]
+
+
+def init_face_params(key) -> Dict:
+    """FaceNet stores layers FLAT (facenet.pth keys are 'conv1_1.weight')."""
+    params: Dict = {}
+    for item in _FACE_STEM:
+        if isinstance(item, str):
+            continue
+        name, cin, cout, k = item
+        key, sub = jax.random.split(key)
+        params[name] = init_conv2d(sub, cin, cout, k)
+    for name, cin, cout, k in _FACE_STAGE1:
+        key, sub = jax.random.split(key)
+        params[name] = init_conv2d(sub, cin, cout, k)
+    for stage in range(2, 7):
+        for name, cin, cout, k in _face_stageT_layers(stage):
+            key, sub = jax.random.split(key)
+            params[name] = init_conv2d(sub, cin, cout, k)
+    return params
+
+
+def convert_face_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """facenet.pth (flat 'layer.weight' keys, OIHW) -> flat pytree."""
+    params: Dict = {}
+    for key, value in sd.items():
+        parts = key.split(".")
+        if len(parts) != 2 or parts[1] not in ("weight", "bias"):
+            raise ValueError(f"unexpected face checkpoint key {key!r}")
+        layer, kind = parts
+        value = np.asarray(value)
+        entry = params.setdefault(layer, {})
+        if kind == "weight":
+            entry["kernel"] = jnp.asarray(value.transpose(2, 3, 1, 0))
+        else:
+            entry["bias"] = jnp.asarray(value)
+    return params
+
+
+def face_forward(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, H, W, 3], ``img/256 - 0.5``. Returns stage-6 heatmaps
+    [B, H/8, W/8, 71] (face.py FaceNet.forward: stem -> stage1 ->
+    cat([heatmap, features]) refinement x5)."""
+    feat = _run_hand_layers(params, _FACE_STEM, x, last_no_relu="")
+    out = _run_hand_layers(params, _FACE_STAGE1, feat, last_no_relu="conv6_2_CPM")
+    for stage in range(2, 7):
+        inp = jnp.concatenate([out, feat], axis=-1)
+        out = _run_hand_layers(
+            params, _face_stageT_layers(stage), inp,
+            last_no_relu=f"Mconv7_stage{stage}",
+        )
+    return out
+
+
+_jit_face_forward = jax.jit(face_forward)
+
+
+def estimate_face(
+    params: Dict,
+    image_rgb: np.ndarray,
+    inference_size: int = 384,
+    thre: float = 0.05,
+) -> np.ndarray:
+    """Face landmarks on one cropped face image (controlnet_aux
+    face.Face.__call__): single fixed-size forward, heatmaps resized back,
+    per-channel thresholded argmax. Returns [70, 2] with (0, 0) misses."""
+    ori_h, ori_w = image_rgb.shape[:2]
+    img = _resize_np(image_rgb.astype(np.float32), inference_size, inference_size)
+    img = img / 256.0 - 0.5
+    heat = np.asarray(_jit_face_forward(params, jnp.asarray(img)[None])[0])
+    heat = _resize_np(heat, ori_h, ori_w)
+    peaks = np.zeros((N_FACE - 1, 2), np.float64)
+    for part in range(N_FACE - 1):
+        m = heat[:, :, part]
+        if m.max() <= thre:
+            continue
+        y, x = np.unravel_index(np.argmax(m), m.shape)
+        peaks[part] = (x, y)
+    return peaks
+
+
+def face_detect(candidate: np.ndarray, subset: np.ndarray, height: int, width: int):
+    """Face box proposals from body keypoints (controlnet_aux
+    util.faceDetect semantics): square box around the nose, sized by the
+    nose-eye (x3) and nose-ear (x1.5) distances. Returns [(x, y, w), ...]."""
+    results = []
+    for person in subset.astype(int):
+        if person[0] < 0:  # nose
+            continue
+        x0, y0 = candidate[person[0]][:2]
+        w = 0.0
+        for idx, factor in ((14, 3.0), (15, 3.0), (16, 1.5), (17, 1.5)):
+            if person[idx] >= 0:
+                x1, y1 = candidate[person[idx]][:2]
+                w = max(w, math.hypot(x1 - x0, y1 - y0) * factor)
+        if w < 20:
+            continue
+        x, y = x0 - w / 2, y0 - w / 2
+        if x < 0:
+            w += x; x = 0
+        if y < 0:
+            w += y; y = 0
+        w = min(w, width - x, height - y)
+        if w >= 20:
+            results.append((int(x), int(y), int(w)))
+    return results
+
+
+def draw_facepose(canvas: np.ndarray, peaks: np.ndarray, x0: int, y0: int):
+    """White 3px landmark dots (controlnet_aux util.draw_facepose)."""
+    for p in peaks:
+        if (p == 0).all():
+            continue
+        _fill_ellipse(canvas, p[0] + x0, p[1] + y0, 3, 3, 0.0, (255, 255, 255))
+    return canvas
+
+
+def render_skeleton_full(
+    body_params: Dict,
+    image_rgb: np.ndarray,
+    hand_params: Optional[Dict] = None,
+    face_params: Optional[Dict] = None,
+    **kwargs,
+) -> np.ndarray:
+    """openposefull rendering: body skeleton, plus hand/face overlays when
+    those params are given (OpenposeDetector(hand_and_face=...) — the
+    shipped reference configs run body-only, video_skeletons.py:78)."""
+    candidate, subset = estimate_body(body_params, image_rgb, **kwargs)
+    h, w = image_rgb.shape[:2]
+    canvas = draw_bodypose(candidate, subset, h, w).astype(np.float64)
+    if hand_params is not None:
+        for (x, y, bw, is_left) in hand_detect(candidate, subset, h, w):
+            crop = image_rgb[y:y + bw, x:x + bw]
+            if min(crop.shape[:2]) < 20:
+                continue
+            peaks = estimate_hand(hand_params, crop)
+            draw_handpose(canvas, peaks, x, y)
+    if face_params is not None:
+        for (x, y, bw) in face_detect(candidate, subset, h, w):
+            crop = image_rgb[y:y + bw, x:x + bw]
+            if min(crop.shape[:2]) < 20:
+                continue
+            peaks = estimate_face(face_params, crop)
+            draw_facepose(canvas, peaks, x, y)
+    return canvas.clip(0, 255).astype(np.uint8)
+
+
+def load_hand_params(path: str) -> Dict:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_hand_state_dict({k: v.numpy() for k, v in sd.items()})
+
+
+def load_face_params(path: str) -> Dict:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_face_state_dict({k: v.numpy() for k, v in sd.items()})

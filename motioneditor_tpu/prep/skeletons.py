@@ -1,17 +1,22 @@
 """Skeleton extraction CLI (port of data_preparation/video_skeletons.py).
 
 The reference drives ``controlnet_aux`` OpenposeDetector (or Midas) per frame
-(:13-21, :63-83) and writes ``<save_dir>/<cond>/<frame>.png``.
+(:13-21, :63-83) and writes ``<save_dir>/<cond>/<frame>.png``. NOTE: despite
+the ``openposefull`` condition name, the reference calls
+``cond_model(image, hand_and_face=False)`` (video_skeletons.py:78) — the
+shipped conditions are BODY-ONLY skeletons.
 
 Backends:
   - ``--body_model <body_pose_model.pth>``: the first-party JAX OpenPose
     port (models/openpose.py) — the CMU two-branch PAF/heatmap network runs
-    on TPU, peak/limb decoding and rendering on host. This covers the body
-    skeleton (what ControlNet-openpose conditions on); the reference's
-    ``openposefull`` additionally overlays hand/face keypoints, for which
-    the controlnet_aux fallback remains.
+    on TPU, peak/limb decoding and rendering on host. This matches the
+    reference's live body-only output with zero external model deps.
+    ``--hand_model`` / ``--face_model`` additionally enable the first-party
+    hand/face keypoint networks (the OpenposeDetector hand_and_face=True
+    capability the reference never turns on; default off to match).
   - otherwise: controlnet_aux OpenposeDetector / MidasDetector, with an
-    actionable error if that stack is unavailable.
+    actionable error if that stack is unavailable. The fallback also runs
+    hand_and_face=False, matching the reference exactly.
 """
 
 from __future__ import annotations
@@ -31,9 +36,9 @@ def build_detector(kind: str):
             from controlnet_aux import OpenposeDetector
 
             det = OpenposeDetector.from_pretrained("lllyasviel/Annotators")
-            if kind == "openposefull":
-                return lambda img: det(img, hand_and_face=True)
-            return det
+            # the reference's openposefull path is hand_and_face=False
+            # (video_skeletons.py:78) — body-only, like plain openpose
+            return lambda img: det(img, hand_and_face=False)
         if kind == "depth":
             from controlnet_aux import MidasDetector
 
@@ -48,14 +53,25 @@ def build_detector(kind: str):
     raise SystemExit(f"unknown condition type {kind}")
 
 
-def build_native_detector(body_model: str):
-    """First-party backend: JAX OpenPose body network + host decode/render."""
-    from motioneditor_tpu.models.openpose import load_body_params, render_skeleton
+def build_native_detector(
+    body_model: str, hand_model: str = None, face_model: str = None
+):
+    """First-party backend: JAX OpenPose networks + host decode/render."""
+    from motioneditor_tpu.models.openpose import (
+        load_body_params,
+        load_face_params,
+        load_hand_params,
+        render_skeleton_full,
+    )
 
-    params = load_body_params(body_model)
+    body = load_body_params(body_model)
+    hand = load_hand_params(hand_model) if hand_model else None
+    face = load_face_params(face_model) if face_model else None
 
     def detect(img: Image.Image) -> np.ndarray:
-        return render_skeleton(params, np.asarray(img, np.uint8))
+        return render_skeleton_full(
+            body, np.asarray(img, np.uint8), hand_params=hand, face_params=face
+        )
 
     return detect
 
@@ -69,12 +85,21 @@ def main():
         "--body_model", type=str, default=None,
         help="pytorch-openpose body_pose_model.pth -> native JAX backend",
     )
+    p.add_argument(
+        "--hand_model", type=str, default=None,
+        help="hand_pose_model.pth: overlay hand keypoints (native backend; "
+        "the reference runs body-only — see module docstring)",
+    )
+    p.add_argument(
+        "--face_model", type=str, default=None,
+        help="facenet.pth: overlay face landmarks (native backend)",
+    )
     args = p.parse_args()
 
     if args.body_model:
         if args.condition not in ("openpose", "openposefull"):
             raise SystemExit("--body_model implies an openpose condition")
-        det = build_native_detector(args.body_model)
+        det = build_native_detector(args.body_model, args.hand_model, args.face_model)
     else:
         det = build_detector(args.condition)
     out_dir = osp.join(args.save_dir, args.condition)

@@ -30,6 +30,8 @@ from motioneditor_tpu.models.openpose import (
     score_limbs,
 )
 
+pytestmark = pytest.mark.slow  # 6-stage body/hand/face network compiles (see pytest.ini)
+
 torch.manual_seed(0)
 
 
@@ -96,6 +98,192 @@ def test_body_forward_matches_torch():
     np.testing.assert_allclose(
         np.asarray(heat_j), heat_t.numpy().transpose(0, 2, 3, 1), atol=2e-4
     )
+
+
+def test_body_state_dict_accepts_stripped_keys():
+    """The REAL body_pose_model.pth (lllyasviel/Annotators) stores
+    prefix-stripped keys ('conv1_1.weight', 'Mconv1_stage2_L1.weight'); the
+    converter must derive the module from the layer name (the reference's
+    util.transfer() re-adds the prefix from model.state_dict())."""
+    model = TorchBody().eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    stripped = {k.split(".", 1)[1]: v for k, v in sd.items()}
+    assert "conv1_1.weight" in stripped and "Mconv1_stage2_L1.weight" in stripped
+    p_pref = convert_body_state_dict(sd)
+    p_strip = convert_body_state_dict(stripped)
+    flat_a = jax.tree_util.tree_leaves_with_path(p_pref)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(p_strip))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_b[path]))
+
+
+# ---------------------------------------------------------------------------
+# hand / face networks (pytorch-openpose hand.py, controlnet_aux FaceNet)
+# ---------------------------------------------------------------------------
+
+
+class TorchHand(nn.Module):
+    def __init__(self):
+        super().__init__()
+        from motioneditor_tpu.models import openpose as op
+
+        def seq(layers, no_relu):
+            mods = collections.OrderedDict()
+            for item in layers:
+                if isinstance(item, str):
+                    mods[item] = nn.MaxPool2d(2, 2)
+                    continue
+                name, cin, cout, k = item
+                mods[name] = nn.Conv2d(cin, cout, k, padding=k // 2)
+                if name != no_relu:
+                    mods["relu_" + name] = nn.ReLU()
+            return nn.Sequential(mods)
+
+        self.model1_0 = seq(op._HAND_STEM, no_relu="")
+        self.model1_1 = seq(op._HAND_STAGE1, no_relu="conv6_2_CPM")
+        for stage in range(2, 7):
+            setattr(
+                self, f"model{stage}",
+                seq(op._hand_stageT_layers(stage), no_relu=f"Mconv7_stage{stage}"),
+            )
+
+    def forward(self, x):
+        feat = self.model1_0(x)
+        out = self.model1_1(feat)
+        for stage in range(2, 7):
+            out = getattr(self, f"model{stage}")(torch.cat([out, feat], dim=1))
+        return out
+
+
+def test_hand_forward_matches_torch():
+    from motioneditor_tpu.models.openpose import (
+        N_HAND,
+        convert_hand_state_dict,
+        hand_forward,
+    )
+
+    model = TorchHand().eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    # prefixed keys AND the real checkpoint's stripped layout both load
+    params = convert_hand_state_dict(sd)
+    stripped = {k.split(".", 1)[1]: v for k, v in sd.items()}
+    params_s = convert_hand_state_dict(stripped)
+    x = np.random.RandomState(0).randn(1, 3, 32, 24).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).numpy().transpose(0, 2, 3, 1)
+    out = hand_forward(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert out.shape == (1, 4, 3, N_HAND)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+    out_s = hand_forward(params_s, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out))
+
+
+class TorchFace(nn.Module):
+    """controlnet_aux FaceNet mirror: flat conv attributes, stem + stage1 +
+    5 cat([heatmap, feat]) refinement stages, 71 output channels."""
+
+    def __init__(self):
+        super().__init__()
+        from motioneditor_tpu.models import openpose as op
+
+        self._stem = [i for i in op._FACE_STEM]
+        for item in list(op._FACE_STEM) + op._FACE_STAGE1 + [
+            l for s in range(2, 7) for l in op._face_stageT_layers(s)
+        ]:
+            if isinstance(item, str):
+                continue
+            name, cin, cout, k = item
+            setattr(self, name, nn.Conv2d(cin, cout, k, padding=k // 2))
+
+    def _run(self, layers, x, no_relu):
+        for item in layers:
+            if isinstance(item, str):
+                x = nn.functional.max_pool2d(x, 2, 2)
+                continue
+            x = getattr(self, item[0])(x)
+            if item[0] != no_relu:
+                x = nn.functional.relu(x)
+        return x
+
+    def forward(self, x):
+        from motioneditor_tpu.models import openpose as op
+
+        feat = self._run(op._FACE_STEM, x, no_relu="")
+        out = self._run(op._FACE_STAGE1, feat, no_relu="conv6_2_CPM")
+        for stage in range(2, 7):
+            out = self._run(
+                op._face_stageT_layers(stage), torch.cat([out, feat], dim=1),
+                no_relu=f"Mconv7_stage{stage}",
+            )
+        return out
+
+
+def test_face_forward_matches_torch():
+    from motioneditor_tpu.models.openpose import (
+        N_FACE,
+        convert_face_state_dict,
+        face_forward,
+    )
+
+    model = TorchFace().eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    assert "conv1_1.weight" in sd and "Mconv7_stage6.weight" in sd
+    params = convert_face_state_dict(sd)
+    x = np.random.RandomState(1).randn(1, 3, 24, 32).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).numpy().transpose(0, 2, 3, 1)
+    out = face_forward(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert out.shape == (1, 3, 4, N_FACE)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_hand_peak_extraction():
+    """estimate_hand's decode (blur -> largest component -> argmax) finds a
+    planted peak; exercised through the real forward with a delta-weight
+    trick is overkill — decode directly on synthetic heatmaps."""
+    from motioneditor_tpu.models import openpose as op
+    from scipy.ndimage import label as cc_label
+
+    h = np.zeros((64, 64), np.float64)
+    yy, xx = np.mgrid[0:64, 0:64]
+    h += np.exp(-((yy - 31) ** 2 + (xx - 17) ** 2) / 8.0)
+    blurred = op.gaussian_blur(h, 3.0)
+    labels, n = cc_label(blurred > 0.05)
+    assert n == 1
+    y, x = np.unravel_index(np.argmax(h), h.shape)
+    assert (x, y) == (17, 31)
+
+
+def test_hand_detect_box_from_wrist_elbow():
+    from motioneditor_tpu.models.openpose import hand_detect
+
+    pts = _stick_figure()
+    candidate = np.array(
+        [[x, y, 1.0, i] for i, (x, y) in sorted(pts.items())], np.float64
+    )
+    subset = np.concatenate([np.arange(18.0), [18.0, 18.0]])[None]
+    boxes = hand_detect(candidate, subset, 128, 128)
+    assert len(boxes) == 2  # left + right hand
+    sides = sorted(b[3] for b in boxes)
+    assert sides == [False, True]
+    for (x, y, w, _) in boxes:
+        assert w >= 20 and 0 <= x < 128 and 0 <= y < 128
+
+
+def test_face_detect_box_from_head():
+    from motioneditor_tpu.models.openpose import face_detect
+
+    pts = _stick_figure()
+    candidate = np.array(
+        [[x, y, 1.0, i] for i, (x, y) in sorted(pts.items())], np.float64
+    )
+    subset = np.concatenate([np.arange(18.0), [18.0, 18.0]])[None]
+    boxes = face_detect(candidate, subset, 128, 128)
+    assert len(boxes) == 1
+    x, y, w = boxes[0]
+    # the square must contain the nose
+    assert x <= pts[0][0] <= x + w and y <= pts[0][1] <= y + w
 
 
 def test_gaussian_blur_matches_scipy():
