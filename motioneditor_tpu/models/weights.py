@@ -155,11 +155,15 @@ def port_unet(sd: Dict[str, np.ndarray], video: bool = True) -> dict:
             "linear_1": _lin(sd, "time_embedding.linear_1"),
             "linear_2": _lin(sd, "time_embedding.linear_2"),
         },
-        "conv_norm_out": _norm(sd, "conv_norm_out"),
-        "conv_out": _conv(sd, "conv_out"),
         "down_blocks": [],
         "up_blocks": [],
     }
+    # absent in ControlNet state dicts (encoder-only; port_controlnet reuses
+    # this function) — a real diffusers ControlNetModel has no output head
+    if "conv_norm_out.weight" in sd:
+        p["conv_norm_out"] = _norm(sd, "conv_norm_out")
+    if "conv_out.weight" in sd:
+        p["conv_out"] = _conv(sd, "conv_out")
     for i in range(4):
         pre = f"down_blocks.{i}"
         block = {"resnets": [], "attentions": []}

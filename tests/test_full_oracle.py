@@ -197,3 +197,111 @@ def test_injected_step_parity(oracle_and_params):
         use_flash=False,
     )
     _compare(ref, out, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# multi-step pipeline parity: ControlNet + residual plumbing + CFG + DDIM
+# over several injected steps (pipeline_motion_editor.py:599-654)
+# ---------------------------------------------------------------------------
+
+
+def _torch_ddim_step(schedule, eps, t, sample, num_steps):
+    """diffusers DDIMScheduler.step (eta=0) closed form, in torch fp64-free
+    fp32 — mirrors motioneditor_tpu.schedulers.ddim_step."""
+    acp = torch.from_numpy(
+        np.cumprod(1.0 - schedule.betas).astype(np.float32)
+    )
+    step_ratio = schedule.num_train_timesteps // num_steps
+    prev_t = t - step_ratio
+    alpha_t = acp[t]
+    alpha_prev = acp[prev_t] if prev_t >= 0 else acp[0]
+    beta_t = 1.0 - alpha_t
+    pred_x0 = (sample - beta_t**0.5 * eps) / alpha_t**0.5
+    return alpha_prev**0.5 * pred_x0 + (1.0 - alpha_prev) ** 0.5 * eps
+
+
+def test_multi_step_pipeline_parity(oracle_and_params):
+    """THE denoise step loop, 3 injected steps end to end: batch-4 CFG build,
+    ControlNet on edit rows [1,3], residual reshape + mid-zeroing on recon
+    rows, UNet with fg/bg + temporal injection and the batch-4 adapter
+    branch, CFG combine, DDIM update (pipeline_motion_editor.py:599-654).
+    The round-2 oracle pinned one UNet forward; this pins the loop around it
+    — including the ControlNet port path (models/weights.port_controlnet)."""
+    import dataclasses
+
+    from torch_oracle import OracleControlNet
+    from motioneditor_tpu.models.controlnet import precompute_cond_embedding
+    from motioneditor_tpu.models.weights import port_controlnet
+    from motioneditor_tpu.pipelines.editor import _jit_denoise_segment
+    from motioneditor_tpu.schedulers import DiffusionSchedule
+
+    oracle, params = oracle_and_params
+    torch.manual_seed(7)
+    cn = OracleControlNet().eval()
+    cn_params = port_controlnet(
+        {k: v.detach().numpy() for k, v in cn.state_dict().items()}
+    )
+    cn_config = dataclasses.replace(
+        TINY, video=False, use_sc_attn=False, use_st_attn=False
+    )
+    schedule = DiffusionSchedule()
+    num_steps = 50
+    seg_ts = schedule.inference_timesteps(num_steps)[:3]  # [981, 961, 941]
+
+    g = torch.Generator().manual_seed(11)
+    lat0 = torch.randn(2, 4, F, HW, HW, generator=g) * 0.3
+    cond = torch.randn(2, 7, 16, generator=g) * 0.3
+    uncond = torch.randn(2, 7, 16, generator=g) * 0.3
+    skel = torch.rand(2, 3, F, 8 * HW, 8 * HW, generator=g)
+    masks = {
+        (s, s): (torch.rand(F, s * s, 1, generator=g) > 0.5).float()
+        for s in (16, 8, 4, 2)
+    }
+    layers = set(range(10, 16))
+    guidance = 7.5
+
+    # -- torch reference loop -------------------------------------------------
+    lat = lat0.clone()
+    with torch.no_grad():
+        for t_val in seg_ts:
+            t = torch.tensor(float(t_val))
+            latent_in = torch.cat([lat, lat], dim=0)  # [ru, eu, rc, ec]
+            text_in = torch.cat([uncond, cond], dim=0)
+            down, mid = cn(
+                latent_in[[1, 3]], t, text_in[[1, 3]], skel,
+                conditioning_scale=1.0,
+            )
+            zero = torch.zeros_like(mid[:1])
+            mid4 = torch.cat([zero, mid[:1], zero, mid[1:2]], dim=0)
+            eps = oracle(
+                latent_in, t, text_in,
+                down_block_additional_residuals=down,
+                mid_block_additional_residual=mid4,
+                inject_spatial_layers=layers,
+                inject_temporal_layers=layers,
+                injection_masks=masks,
+            )
+            eps_u, eps_c = eps.chunk(2, dim=0)
+            eps_g = eps_u + guidance * (eps_c - eps_u)
+            lat = _torch_ddim_step(schedule, eps_g, int(t_val), lat, num_steps)
+
+    # -- jitted segment ---------------------------------------------------------
+    spec = InjectionSpec.from_start_layer(10)
+    seg_fn = _jit_denoise_segment(
+        TINY, cn_config, schedule, num_steps, spec, guidance, 1.0, False, False
+    )
+    skel_j = _to_jax_video(skel)
+    cond_embedding = precompute_cond_embedding(cn_params, skel_j)
+    out, _ = seg_fn(
+        params,
+        cn_params,
+        _to_jax_video(lat0),
+        jnp.asarray(seg_ts),
+        jnp.asarray(cond.numpy()),
+        jnp.asarray(uncond.numpy()),
+        jnp.zeros((3, 1, 1, 1)),
+        cond_embedding,
+        {k: jnp.asarray(v.numpy()) for k, v in masks.items()},
+        jnp.zeros(()),
+    )
+    _compare(lat, out, atol=2e-3)

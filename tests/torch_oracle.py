@@ -190,7 +190,7 @@ def temporal_self_attention(attn: Attention, x, kv=None, causal=True):
 class BasicTransformerBlock(nn.Module):
     """attn1 -> attn2 -> ff -> temporal (attention_2d.py:493-547)."""
 
-    def __init__(self, dim, cross_dim, heads):
+    def __init__(self, dim, cross_dim, heads, video=True):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim)
         self.attn1 = Attention(dim, heads=heads)
@@ -198,8 +198,9 @@ class BasicTransformerBlock(nn.Module):
         self.attn2 = Attention(dim, cross_dim=cross_dim, heads=heads)
         self.norm3 = nn.LayerNorm(dim)
         self.ff = FeedForward(dim)
-        self.norm_temp = nn.LayerNorm(dim)
-        self.attn_temp = Attention(dim, heads=heads)
+        if video:
+            self.norm_temp = nn.LayerNorm(dim)
+            self.attn_temp = Attention(dim, heads=heads)
 
     def forward(self, tokens, enc, attn1_mode, inject_spatial, inject_temporal, mask_n):
         h = self.norm1(tokens)
@@ -209,9 +210,10 @@ class BasicTransformerBlock(nn.Module):
             tokens = tokens + spatial_self_attention(self.attn1, h, attn1_mode)
         tokens = tokens + cross_attention(self.attn2, self.norm2(tokens), enc)
         tokens = tokens + self.ff(self.norm3(tokens))
-        ht = self.norm_temp(tokens)
-        kv = ht[[0, 0, 2, 2]] if inject_temporal else None  # temporal_control.py:82-86
-        tokens = tokens + temporal_self_attention(self.attn_temp, ht, kv=kv, causal=True)
+        if hasattr(self, "attn_temp"):
+            ht = self.norm_temp(tokens)
+            kv = ht[[0, 0, 2, 2]] if inject_temporal else None  # temporal_control.py:82-86
+            tokens = tokens + temporal_self_attention(self.attn_temp, ht, kv=kv, causal=True)
         return tokens
 
 
@@ -220,11 +222,13 @@ class Transformer2D(nn.Module):
     (attention_2d.py:338-389: rearranged to (b f) BEFORE the norm, so the
     transformer GN is per-frame, unlike the resnet GN)."""
 
-    def __init__(self, channels, cross_dim, heads, groups):
+    def __init__(self, channels, cross_dim, heads, groups, video=True):
         super().__init__()
         self.norm = nn.GroupNorm(groups, channels, eps=1e-6)
         self.proj_in = nn.Conv2d(channels, channels, 1)
-        self.transformer_blocks = nn.ModuleList([BasicTransformerBlock(channels, cross_dim, heads)])
+        self.transformer_blocks = nn.ModuleList(
+            [BasicTransformerBlock(channels, cross_dim, heads, video=video)]
+        )
         self.proj_out = nn.Conv2d(channels, channels, 1)
 
     def forward(self, video, enc, **kw):  # video: [B, C, F, H, W]
@@ -244,25 +248,38 @@ class ResnetBlock(nn.Module):
     """Video resnet with ACROSS-FRAME GroupNorm (torch GN applied to the 5D
     tensor, resnet_2d.py:160/176) and residual temporal convs."""
 
-    def __init__(self, in_ch, out_ch, temb_ch, groups):
+    def __init__(self, in_ch, out_ch, temb_ch, groups, video=True):
         super().__init__()
+        self.video = video
         self.norm1 = nn.GroupNorm(groups, in_ch, eps=1e-5)
         self.conv1 = InflatedConv3d(in_ch, out_ch, 3, padding=1)
-        self.temp_conv1 = TemporalConv(out_ch, out_ch, 3, padding=1)
+        if video:
+            self.temp_conv1 = TemporalConv(out_ch, out_ch, 3, padding=1)
         self.time_emb_proj = nn.Linear(temb_ch, out_ch)
         self.norm2 = nn.GroupNorm(groups, out_ch, eps=1e-5)
         self.conv2 = InflatedConv3d(out_ch, out_ch, 3, padding=1)
-        self.temp_conv2 = TemporalConv(out_ch, out_ch, 3, padding=1)
+        if video:
+            self.temp_conv2 = TemporalConv(out_ch, out_ch, 3, padding=1)
         self.conv_shortcut = (
             InflatedConv3d(in_ch, out_ch, 1) if in_ch != out_ch else None
         )
 
+    def _gn(self, norm, x):
+        if self.video:
+            return norm(x)  # across-frame 5D GN (resnet_2d.py:160/176)
+        # 2D per-frame GN: diffusers runs the ControlNet on a (b f) batch
+        b, c, f, h, w = x.shape
+        y = norm(x.permute(0, 2, 1, 3, 4).reshape(b * f, c, h, w))
+        return y.reshape(b, f, c, h, w).permute(0, 2, 1, 3, 4)
+
     def forward(self, x, temb):
-        h = self.conv1(F.silu(self.norm1(x)))
-        h = h + self.temp_conv1(h)
+        h = self.conv1(F.silu(self._gn(self.norm1, x)))
+        if self.video:
+            h = h + self.temp_conv1(h)
         h = h + self.time_emb_proj(F.silu(temb))[:, :, None, None, None]
-        h = self.conv2(F.silu(self.norm2(h)))
-        h = h + self.temp_conv2(h)
+        h = self.conv2(F.silu(self._gn(self.norm2, h)))
+        if self.video:
+            h = h + self.temp_conv2(h)
         skip = x if self.conv_shortcut is None else self.conv_shortcut(x)
         return skip + h
 
@@ -543,3 +560,138 @@ class OracleUNet(nn.Module):
         h = self.conv_norm_out(h)  # across-frame 5D GN (unet_2d_condition.py:539)
         h = F.silu(h)
         return self.conv_out(h)
+
+
+# ---------------------------------------------------------------------------
+# ControlNet oracle (diffusers ControlNetModel as used at
+# pipeline_motion_editor.py:613-625: per-frame 2D SD encoder + zero-conv
+# heads + conditioning-embedding CNN; diffusers-compatible names so
+# models/weights.port_controlnet ports state_dict() directly)
+# ---------------------------------------------------------------------------
+
+
+class CondEmbedding(nn.Module):
+    """ControlNetConditioningEmbedding: conv stem downsampling the skeleton
+    image 8x to the latent resolution."""
+
+    def __init__(self, out_ch, channels=(16, 32, 96, 256)):
+        super().__init__()
+        self.conv_in = nn.Conv2d(3, channels[0], 3, padding=1)
+        blocks = []
+        for i in range(len(channels) - 1):
+            blocks.append(nn.Conv2d(channels[i], channels[i], 3, padding=1))
+            blocks.append(nn.Conv2d(channels[i], channels[i + 1], 3, padding=1, stride=2))
+        self.blocks = nn.ModuleList(blocks)
+        self.conv_out = nn.Conv2d(channels[-1], out_ch, 3, padding=1)
+
+    def forward(self, image):  # [N, 3, H, W] in [0,1]
+        x = F.silu(self.conv_in(image))
+        for blk in self.blocks:
+            x = F.silu(blk(x))
+        return self.conv_out(x)
+
+
+class OracleControlNet(nn.Module):
+    """Tiny 2D per-frame ControlNet mirroring models/controlnet.py's port
+    target. NOTE: the zero-initialized modules (zero convs, cond embedding
+    conv_out) are RANDOM-initialized so parity exercises live residuals."""
+
+    def __init__(
+        self,
+        in_channels=4,
+        block_out_channels=(32, 64, 64, 64),
+        layers_per_block=2,
+        cross_dim=16,
+        heads=4,
+        groups=8,
+        cond_channels=(8, 8, 16, 16),  # tiny stand-in for (16, 32, 96, 256)
+    ):
+        super().__init__()
+        c = block_out_channels
+        time_dim = c[0] * 4
+        self.block_out_channels = c
+        self.conv_in = InflatedConv3d(in_channels, c[0], 3, padding=1)
+        self.time_embedding = TimestepEmbedding(c[0], time_dim)
+        self.controlnet_cond_embedding = CondEmbedding(c[0], cond_channels)
+
+        self.down_blocks = nn.ModuleList()
+        zero_convs = [nn.Conv2d(c[0], c[0], 1)]
+        out_ch = c[0]
+        for i in range(4):
+            in_ch, out_ch = out_ch, c[i]
+            block = nn.Module()
+            block.resnets = nn.ModuleList(
+                [
+                    ResnetBlock(
+                        in_ch if j == 0 else out_ch, out_ch, time_dim, groups,
+                        video=False,
+                    )
+                    for j in range(layers_per_block)
+                ]
+            )
+            for _ in range(layers_per_block):
+                zero_convs.append(nn.Conv2d(out_ch, out_ch, 1))
+            if i < 3:
+                block.attentions = nn.ModuleList(
+                    [
+                        Transformer2D(out_ch, cross_dim, heads, groups, video=False)
+                        for _ in range(layers_per_block)
+                    ]
+                )
+                block.downsamplers = nn.ModuleList([Downsampler(out_ch)])
+                zero_convs.append(nn.Conv2d(out_ch, out_ch, 1))
+            self.down_blocks.append(block)
+
+        mid_ch = c[-1]
+        self.mid_block = nn.Module()
+        self.mid_block.resnets = nn.ModuleList(
+            [ResnetBlock(mid_ch, mid_ch, time_dim, groups, video=False) for _ in range(2)]
+        )
+        self.mid_block.attentions = nn.ModuleList(
+            [Transformer2D(mid_ch, cross_dim, heads, groups, video=False)]
+        )
+        self.controlnet_down_blocks = nn.ModuleList(zero_convs)
+        self.controlnet_mid_block = nn.Conv2d(mid_ch, mid_ch, 1)
+
+    def _per_frame(self, conv, x):  # apply a 2D conv to [B, C, F, H, W]
+        b, c, f, h, w = x.shape
+        y = conv(x.permute(0, 2, 1, 3, 4).reshape(b * f, c, h, w))
+        return y.reshape(b, f, *y.shape[1:]).permute(0, 2, 1, 3, 4)
+
+    def forward(self, sample, timesteps, enc, cond_image, conditioning_scale=1.0):
+        """sample: [B, 4, F, h, w]; cond_image: [B, 3, F, 8h, 8w] in [0,1].
+        Returns (12 down residuals, mid residual) as [B, C, F, ., .]."""
+        b = sample.shape[0]
+        if timesteps.dim() == 0:
+            timesteps = timesteps.expand(b)
+        temb = self.time_embedding(
+            sinusoidal_embedding(timesteps, self.block_out_channels[0])
+        )
+        kw = dict(
+            attn1_mode="normal", inject_spatial=False, inject_temporal=False,
+            mask_n=None,
+        )
+
+        h = self.conv_in(sample)
+        h = h + self._per_frame(self.controlnet_cond_embedding, cond_image)
+        res_samples = [h]
+        for block in self.down_blocks:
+            for j, rn in enumerate(block.resnets):
+                h = rn(h, temb)
+                if hasattr(block, "attentions"):
+                    h = block.attentions[j](h, enc, **kw)
+                res_samples.append(h)
+            if hasattr(block, "downsamplers"):
+                h = block.downsamplers[0](h)
+                res_samples.append(h)
+
+        h = self.mid_block.resnets[0](h, temb)
+        h = self.mid_block.attentions[0](h, enc, **kw)
+        h = self.mid_block.resnets[1](h, temb)
+
+        down = [
+            self._per_frame(zc, r) * conditioning_scale
+            for zc, r in zip(self.controlnet_down_blocks, res_samples)
+        ]
+        mid = self._per_frame(self.controlnet_mid_block, h) * conditioning_scale
+        return down, mid
