@@ -46,6 +46,34 @@ _CAP = 60.0
 _NOMAX_BLOCK_Q = 2048  # best measured (s block 8MB fp32 of 16MB VMEM)
 
 
+def max_abs_logit(q, k, scale: float, heads: int = None):
+    """Debug stat for the bounded-score cap: the maximum |score| the no-max
+    bf16 kernels would see for these operands. Parity runs should assert
+    ``max_abs_logit(...) < score_cap()`` — scores above the cap are clamped
+    (prob 1.0 pre-normalization) and scores more than ~103 below it
+    underflow to 0, so a violation silently changes the softmax. q/k:
+    [..., N, C] packed-head layout when ``heads`` is given (per-head d-slices
+    scored separately), else [..., N, D] split-head."""
+    import jax.numpy as jnp
+
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    if heads is not None:
+        c = q.shape[-1]
+        d = c // heads
+        qf = qf.reshape(qf.shape[:-1] + (heads, d))
+        kf = kf.reshape(kf.shape[:-1] + (heads, d))
+        s = jnp.einsum("...qhd,...khd->...hqk", qf, kf)
+    else:
+        s = jnp.einsum("...qd,...kd->...qk", qf, kf)
+    return jnp.max(jnp.abs(s)) * scale
+
+
+def score_cap() -> float:
+    """The bf16 no-max softmax clamp (see the _CAP note above)."""
+    return _CAP
+
+
 def _flash_kernel(
     q_ref,
     k_ref,

@@ -4,10 +4,12 @@ The reference runs vendored GroundedSAM: GroundingDINO text-grounded boxes
 (:63-96) -> SAM box-prompted masks (:234-252), best box by max logit (:253).
 
 Backends:
-  - ``--dino_backend native``: the first-party JAX GroundingDINO port
+  - ``--dino_backend native``: fully first-party JAX — GroundingDINO
     (models/grounding_dino.py, running the ops/ms_deform_attn.py kernel on
-    TPU) loading the official .pth checkpoint + a local BERT vocab. SAM
-    box-prompted segmentation stays on the HF stack (not ported).
+    TPU) for text-grounded boxes AND the first-party SAM port
+    (models/sam.py: ViT encoder, box prompts, two-way decoder) for the
+    masks; official .pth checkpoints + a local BERT vocab are the only
+    inputs (see extract_masks_native below).
   - ``--dino_backend transformers``: HF GroundingDINO (torch CPU).
   - explicit error telling the user what to provide.
 """

@@ -1,9 +1,12 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from motioneditor_tpu.eval.metrics import psnr, ssim, temporal_consistency
 from motioneditor_tpu.eval.lpips import init_lpips, lpips, ALEX_CONVS
+
+pytestmark = pytest.mark.slow  # CLIP tower / LPIPS backbone compiles (see pytest.ini)
 
 
 def test_psnr_identity_and_noise():

@@ -59,3 +59,26 @@ def test_flash_bf16_nomax_extreme_scores():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=6e-2
     )
+
+
+def test_max_abs_logit_debug_stat():
+    """Parity runs assert max_abs_logit < score_cap so bf16 bounded-score
+    clamping can never silently change a softmax (advisor round-2 ask)."""
+    from motioneditor_tpu.ops.flash_attention import max_abs_logit, score_cap
+
+    d = 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 128, d)) * 2.0
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 128, d)) * 2.0
+    scale = d**-0.5
+    stat = float(max_abs_logit(q, k, scale))
+    ref = float(jnp.max(jnp.abs(jnp.einsum("bqd,bkd->bqk", q, k) * scale)))
+    assert stat == pytest.approx(ref, rel=1e-6)
+    assert stat < score_cap()  # SD-scale operands sit far inside the cap
+    # packed-head form scores each d-slice separately (what the kernels see)
+    stat_packed = float(max_abs_logit(q, k, scale, heads=4))
+    per_head = jnp.einsum(
+        "bqhd,bkhd->bhqk", q.reshape(2, 128, 4, 16), k.reshape(2, 128, 4, 16)
+    )
+    assert stat_packed == pytest.approx(
+        float(jnp.max(jnp.abs(per_head)) * scale), rel=1e-6
+    )

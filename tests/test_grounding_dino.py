@@ -27,6 +27,8 @@ from motioneditor_tpu.models.grounding_dino import (
 )
 from motioneditor_tpu.models.swin import SwinConfig, init_swin, swin_apply
 
+pytestmark = pytest.mark.slow  # Swin/fusion/deformable torch-mirror compiles (see pytest.ini)
+
 torch.manual_seed(0)
 
 

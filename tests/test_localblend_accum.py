@@ -1,8 +1,11 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from motioneditor_tpu.control.p2p import LocalBlend, make_local_blend
+
+pytestmark = pytest.mark.slow  # grad-accumulation UNet compiles (see pytest.ini)
 
 
 class WordTokenizer:

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +10,8 @@ from motioneditor_tpu.control.injection import (
 )
 from motioneditor_tpu.models.unet import UNetConfig, init_unet, unet_apply
 from motioneditor_tpu.ops.attention import init_attention
+
+pytestmark = pytest.mark.slow  # auto-mask UNet forward compiles ~6 min (see pytest.ini)
 
 TINY = UNetConfig(
     block_out_channels=(32, 64, 64, 64),

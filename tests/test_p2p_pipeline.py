@@ -27,6 +27,8 @@ from motioneditor_tpu.pipelines.editor import MotionEditorPipeline
 
 from test_p2p import WordTokenizer
 
+pytestmark = pytest.mark.slow  # pipeline-level p2p compiles (see pytest.ini)
+
 
 # -- prob editor vs. a direct numpy oracle of p2p_stable.py math ------------
 

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -5,6 +6,8 @@ import torch
 
 from motioneditor_tpu.ops.ms_deform_attn import _bilinear_sample, ms_deform_attn
 from motioneditor_tpu.prep.alignment import align_pose_frame, find_person_boundaries
+
+pytestmark = pytest.mark.slow  # deformable-attention torch oracles (see pytest.ini)
 
 
 def test_bilinear_sample_matches_torch_grid_sample():

@@ -22,6 +22,8 @@ from motioneditor_tpu.models.sam import (
     sam_encode_image,
 )
 
+pytestmark = pytest.mark.slow  # ViT encoder + two-way decoder compiles (see pytest.ini)
+
 torch.manual_seed(0)
 
 TINY = SAMConfig(
