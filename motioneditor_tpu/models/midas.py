@@ -1,0 +1,528 @@
+"""Functional MiDaS DPT-Hybrid depth estimator — JAX port of the depth stage.
+
+The reference's ``depth`` condition modality drives controlnet_aux's
+MidasDetector (data_preparation/video_skeletons.py:13-21, :71-74), which
+wraps isl-org/MiDaS ``DPTDepthModel(backbone="vitb_rn50_384")``: a hybrid
+ResNetV2-50 + ViT-Base encoder with DPT reassemble/fusion decoding
+(MiDaS dpt_depth.py / vit.py / blocks.py). This module re-implements that
+stack in the repo's functional style (param pytrees, NHWC, pure functions):
+
+  - ResNetV2 stem + stages (3, 4, 9): weight-standardized convs (eps 1e-6),
+    GroupNorm(32, eps 1e-5) + ReLU, TF-'same' padding, post-activation
+    bottlenecks — the timm ``vit_base_resnet50_384`` hybrid backbone.
+  - ViT-Base (12 blocks, 12 heads, LN eps 1e-6) on 1/16-resolution patches
+    from a 1x1 projection of the ResNet stage-3 output; bilinear pos-embed
+    grid resize for non-384 inputs (MiDaS vit.py ``_resize_pos_embed``).
+  - DPT hooks [0, 1, 8, 11]: ResNet stages 1-2 feed reassemble levels 1-2
+    directly; transformer blocks 8/11 go through project-readout (cls-token
+    concat + Linear + GELU) and 1x1/strided convs (``act_postprocess3/4``).
+  - RefineNet-style fusion (``FeatureFusionBlock_custom``, align_corners
+    bilinear x2 upsampling) and the monodepth head (non_negative=True).
+
+TPU notes: the backbone is large-batch convs and 577-token attention — all
+MXU work; one jit per input shape (a video's frames share one shape). The
+align-corners bilinear resizes are expressed as small interpolation-matrix
+einsums so they lower to MXU dots instead of gathers.
+
+Weight mapping accepts the ``dpt_hybrid-midas-501f0c75.pt`` state_dict
+layout controlnet_aux downloads (``pretrained.model.*`` timm-hybrid keys +
+``scratch.*`` DPT keys, OIHW). Oracle: tests/test_midas.py builds a torch
+mirror of the same architecture and asserts forward parity under shared
+weights through this converter.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motioneditor_tpu.models.layers import (
+    conv2d,
+    init_conv2d,
+    init_linear,
+    layer_norm,
+    linear,
+)
+
+# ---------------------------------------------------------------------------
+# architecture constants (MiDaS vitb_rn50_384 / timm vit_base_resnet50_384)
+# ---------------------------------------------------------------------------
+
+RESNET_LAYERS = (3, 4, 9)
+RESNET_WIDTHS = (256, 512, 1024)
+RESNET_STRIDES = (1, 2, 2)
+STEM_CH = 64
+VIT_DIM = 768
+VIT_HEADS = 12
+VIT_MLP = 3072
+VIT_DEPTH = 12
+HOOKS = (8, 11)  # transformer blocks feeding DPT levels 3 / 4
+FEATURES = 256  # DPT scratch width
+PATCH_STRIDE = 16
+GN_EPS = 1e-5
+LN_EPS = 1e-6
+WS_EPS = 1e-6  # StdConv2d weight-standardization epsilon (timm default)
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def std_conv2d(params, x, stride: int = 1):
+    """Weight-standardized conv with TF-'same' padding (timm StdConv2dSame).
+
+    Standardization is over each output filter's (kh, kw, in) fan-in with
+    biased variance, matching ``F.batch_norm(weight.reshape(1, O, -1), ...,
+    training=True, eps=1e-6)`` in timm's StdConv2d."""
+    k = params["kernel"].astype(jnp.float32)
+    mean = jnp.mean(k, axis=(0, 1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(k - mean), axis=(0, 1, 2), keepdims=True)
+    k = (k - mean) * jax.lax.rsqrt(var + WS_EPS)
+    y = jax.lax.conv_general_dilated(
+        x,
+        k.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+def group_norm_relu(params, x, relu: bool = True):
+    """GroupNorm(32, eps=1e-5) (+ReLU) — timm GroupNormAct semantics."""
+    b = x.shape[0]
+    c = x.shape[-1]
+    g = 32
+    xf = x.astype(jnp.float32).reshape(b, -1, g, c // g)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + GN_EPS)
+    xf = xf.reshape(x.shape)
+    out = xf * params["scale"] + params["bias"]
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    return out.astype(x.dtype)
+
+
+def max_pool_same(x, window: int = 3, stride: int = 2):
+    """MaxPool with TF-'same' padding (timm MaxPool2dSame)."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        "SAME",
+    )
+
+
+def _interp_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
+    """Row-stochastic 1-D bilinear interpolation matrix [n_out, n_in]."""
+    if align_corners and n_out > 1:
+        src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    else:
+        src = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    src = np.clip(src, 0.0, n_in - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    w = (src - lo).astype(np.float32)
+    m = np.zeros((n_out, n_in), np.float32)
+    m[np.arange(n_out), lo] += 1.0 - w
+    m[np.arange(n_out), hi] += w
+    return m
+
+
+def resize_bilinear(x, out_h: int, out_w: int, align_corners: bool):
+    """Bilinear resize of [B, H, W, C] via interpolation-matrix einsums
+    (exact torch ``F.interpolate(mode="bilinear")`` semantics, MXU-shaped)."""
+    b, h, w, c = x.shape
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    if h != out_h:
+        mh = jnp.asarray(_interp_matrix(h, out_h, align_corners))
+        xf = jnp.einsum("oh,bhwc->bowc", mh, xf)
+    if w != out_w:
+        mw = jnp.asarray(_interp_matrix(w, out_w, align_corners))
+        xf = jnp.einsum("ow,bhwc->bhoc", mw, xf)
+    return xf.astype(dt)
+
+
+# ---------------------------------------------------------------------------
+# params
+# ---------------------------------------------------------------------------
+
+
+def _init_gn(c: int) -> Dict:
+    return {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def _init_ln(c: int) -> Dict:
+    return {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def _bottleneck_channels(stage: int) -> Tuple[int, int]:
+    out = RESNET_WIDTHS[stage]
+    return out // 4, out
+
+
+def init_dpt_params(key, pos_tokens: int = 577) -> Dict:
+    """Random-init DPT-Hybrid params (for tests; real use loads a ckpt)."""
+    keys = iter(jax.random.split(key, 512))
+
+    def conv(cin, cout, k, bias=True):
+        return init_conv2d(next(keys), cin, cout, k, bias=bias)
+
+    backbone: Dict = {
+        "stem": {"conv": conv(3, STEM_CH, 7, bias=False), "norm": _init_gn(STEM_CH)}
+    }
+    stages: List = []
+    cin = STEM_CH
+    for s, n_blocks in enumerate(RESNET_LAYERS):
+        mid, cout = _bottleneck_channels(s)
+        blocks = []
+        for b in range(n_blocks):
+            blk = {
+                "conv1": conv(cin if b == 0 else cout, mid, 1, bias=False),
+                "norm1": _init_gn(mid),
+                "conv2": conv(mid, mid, 3, bias=False),
+                "norm2": _init_gn(mid),
+                "conv3": conv(mid, cout, 1, bias=False),
+                "norm3": _init_gn(cout),
+            }
+            if b == 0:
+                blk["down_conv"] = conv(cin, cout, 1, bias=False)
+                blk["down_norm"] = _init_gn(cout)
+            blocks.append(blk)
+        stages.append(blocks)
+        cin = cout
+    backbone["stages"] = stages
+
+    vit = {
+        "cls_token": jnp.zeros((1, 1, VIT_DIM), jnp.float32),
+        "pos_embed": jax.random.normal(next(keys), (1, pos_tokens, VIT_DIM)) * 0.02,
+        "patch_proj": conv(RESNET_WIDTHS[-1], VIT_DIM, 1),
+        "blocks": [
+            {
+                "norm1": _init_ln(VIT_DIM),
+                "qkv": init_linear(next(keys), VIT_DIM, 3 * VIT_DIM),
+                "proj": init_linear(next(keys), VIT_DIM, VIT_DIM),
+                "norm2": _init_ln(VIT_DIM),
+                "fc1": init_linear(next(keys), VIT_DIM, VIT_MLP),
+                "fc2": init_linear(next(keys), VIT_MLP, VIT_DIM),
+            }
+            for _ in range(VIT_DEPTH)
+        ],
+    }
+
+    def rcu():
+        return {
+            "conv1": conv(FEATURES, FEATURES, 3),
+            "conv2": conv(FEATURES, FEATURES, 3),
+        }
+
+    def refinenet():
+        return {"out_conv": conv(FEATURES, FEATURES, 1), "rcu1": rcu(), "rcu2": rcu()}
+
+    scratch = {
+        "layer1_rn": conv(256, FEATURES, 3, bias=False),
+        "layer2_rn": conv(512, FEATURES, 3, bias=False),
+        "layer3_rn": conv(VIT_DIM, FEATURES, 3, bias=False),
+        "layer4_rn": conv(VIT_DIM, FEATURES, 3, bias=False),
+        "refinenet1": refinenet(),
+        "refinenet2": refinenet(),
+        "refinenet3": refinenet(),
+        "refinenet4": refinenet(),
+        "head_conv1": conv(FEATURES, 128, 3),
+        "head_conv2": conv(128, 32, 3),
+        "head_conv3": conv(32, 1, 1),
+    }
+
+    return {
+        "backbone": backbone,
+        "vit": vit,
+        "post3": {"project": init_linear(next(keys), 2 * VIT_DIM, VIT_DIM),
+                  "conv": conv(VIT_DIM, VIT_DIM, 1)},
+        "post4": {"project": init_linear(next(keys), 2 * VIT_DIM, VIT_DIM),
+                  "conv": conv(VIT_DIM, VIT_DIM, 1),
+                  "down": conv(VIT_DIM, VIT_DIM, 3)},
+        "scratch": scratch,
+    }
+
+
+# ---------------------------------------------------------------------------
+# checkpoint conversion (dpt_hybrid-midas-501f0c75.pt layout)
+# ---------------------------------------------------------------------------
+
+
+def _c(sd, name) -> Dict:
+    """torch Conv2d -> {'kernel': HWIO, 'bias'?}."""
+    p = {"kernel": jnp.asarray(np.transpose(np.asarray(sd[name + ".weight"]), (2, 3, 1, 0)))}
+    if name + ".bias" in sd:
+        p["bias"] = jnp.asarray(np.asarray(sd[name + ".bias"]))
+    return p
+
+
+def _l(sd, name) -> Dict:
+    p = {"kernel": jnp.asarray(np.transpose(np.asarray(sd[name + ".weight"])))}
+    if name + ".bias" in sd:
+        p["bias"] = jnp.asarray(np.asarray(sd[name + ".bias"]))
+    return p
+
+
+def _n(sd, name) -> Dict:
+    return {
+        "scale": jnp.asarray(np.asarray(sd[name + ".weight"])),
+        "bias": jnp.asarray(np.asarray(sd[name + ".bias"])),
+    }
+
+
+def convert_dpt_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map the MiDaS dpt_hybrid checkpoint layout onto the param pytree."""
+    bb = "pretrained.model.patch_embed.backbone."
+    backbone: Dict = {
+        "stem": {"conv": _c(sd, bb + "stem.conv"), "norm": _n(sd, bb + "stem.norm")}
+    }
+    stages: List = []
+    for s, n_blocks in enumerate(RESNET_LAYERS):
+        blocks = []
+        for b in range(n_blocks):
+            p = f"{bb}stages.{s}.blocks.{b}."
+            blk = {
+                "conv1": _c(sd, p + "conv1"),
+                "norm1": _n(sd, p + "norm1"),
+                "conv2": _c(sd, p + "conv2"),
+                "norm2": _n(sd, p + "norm2"),
+                "conv3": _c(sd, p + "conv3"),
+                "norm3": _n(sd, p + "norm3"),
+            }
+            if p + "downsample.conv.weight" in sd:
+                blk["down_conv"] = _c(sd, p + "downsample.conv")
+                blk["down_norm"] = _n(sd, p + "downsample.norm")
+            blocks.append(blk)
+        stages.append(blocks)
+    backbone["stages"] = stages
+
+    vm = "pretrained.model."
+    vit = {
+        "cls_token": jnp.asarray(np.asarray(sd[vm + "cls_token"])),
+        "pos_embed": jnp.asarray(np.asarray(sd[vm + "pos_embed"])),
+        "patch_proj": _c(sd, vm + "patch_embed.proj"),
+        "blocks": [
+            {
+                "norm1": _n(sd, f"{vm}blocks.{i}.norm1"),
+                "qkv": _l(sd, f"{vm}blocks.{i}.attn.qkv"),
+                "proj": _l(sd, f"{vm}blocks.{i}.attn.proj"),
+                "norm2": _n(sd, f"{vm}blocks.{i}.norm2"),
+                "fc1": _l(sd, f"{vm}blocks.{i}.mlp.fc1"),
+                "fc2": _l(sd, f"{vm}blocks.{i}.mlp.fc2"),
+            }
+            for i in range(VIT_DEPTH)
+        ],
+    }
+
+    def refinenet(i: int) -> Dict:
+        p = f"scratch.refinenet{i}."
+        return {
+            "out_conv": _c(sd, p + "out_conv"),
+            "rcu1": {"conv1": _c(sd, p + "resConfUnit1.conv1"),
+                     "conv2": _c(sd, p + "resConfUnit1.conv2")},
+            "rcu2": {"conv1": _c(sd, p + "resConfUnit2.conv1"),
+                     "conv2": _c(sd, p + "resConfUnit2.conv2")},
+        }
+
+    scratch = {
+        "layer1_rn": _c(sd, "scratch.layer1_rn"),
+        "layer2_rn": _c(sd, "scratch.layer2_rn"),
+        "layer3_rn": _c(sd, "scratch.layer3_rn"),
+        "layer4_rn": _c(sd, "scratch.layer4_rn"),
+        "refinenet1": refinenet(1),
+        "refinenet2": refinenet(2),
+        "refinenet3": refinenet(3),
+        "refinenet4": refinenet(4),
+        "head_conv1": _c(sd, "scratch.output_conv.0"),
+        "head_conv2": _c(sd, "scratch.output_conv.2"),
+        "head_conv3": _c(sd, "scratch.output_conv.4"),
+    }
+
+    return {
+        "backbone": backbone,
+        "vit": vit,
+        "post3": {"project": _l(sd, "pretrained.act_postprocess3.0.project.0"),
+                  "conv": _c(sd, "pretrained.act_postprocess3.3")},
+        "post4": {"project": _l(sd, "pretrained.act_postprocess4.0.project.0"),
+                  "conv": _c(sd, "pretrained.act_postprocess4.3"),
+                  "down": _c(sd, "pretrained.act_postprocess4.4")},
+        "scratch": scratch,
+    }
+
+
+def load_dpt_params(path: str) -> Dict:
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k: v.numpy() for k, v in sd.items()}
+    return convert_dpt_state_dict(sd)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _bottleneck(blk: Dict, x, stride: int):
+    if "down_conv" in blk:
+        sc = group_norm_relu(blk["down_norm"], std_conv2d(blk["down_conv"], x, stride), relu=False)
+    else:
+        sc = x
+    h = group_norm_relu(blk["norm1"], std_conv2d(blk["conv1"], x))
+    h = group_norm_relu(blk["norm2"], std_conv2d(blk["conv2"], h, stride))
+    h = group_norm_relu(blk["norm3"], std_conv2d(blk["conv3"], h), relu=False)
+    return jnp.maximum(h + sc, 0.0)
+
+
+def _resnet_forward(bb: Dict, x):
+    h = std_conv2d(bb["stem"]["conv"], x, stride=2)
+    h = group_norm_relu(bb["stem"]["norm"], h)
+    h = max_pool_same(h)
+    feats = []
+    for s, blocks in enumerate(bb["stages"]):
+        for b, blk in enumerate(blocks):
+            h = _bottleneck(blk, h, RESNET_STRIDES[s] if b == 0 else 1)
+        feats.append(h)
+    return feats  # [1/4 x256, 1/8 x512, 1/16 x1024]
+
+
+def _vit_block(blk: Dict, x):
+    b, n, c = x.shape
+    h = layer_norm(blk["norm1"], x, eps=LN_EPS)
+    qkv = linear(blk["qkv"], h).reshape(b, n, 3, VIT_HEADS, c // VIT_HEADS)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    scale = 1.0 / math.sqrt(c // VIT_HEADS)
+    att = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+    att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", att, v).reshape(b, n, c)
+    x = x + linear(blk["proj"], out)
+    h = layer_norm(blk["norm2"], x, eps=LN_EPS)
+    h = linear(blk["fc2"], jax.nn.gelu(linear(blk["fc1"], h), approximate=False))
+    return x + h
+
+
+def _resize_pos_embed(pos, gh: int, gw: int):
+    """MiDaS vit.py _resize_pos_embed: bilinear (align_corners=False) grid
+    resize of the non-cls part."""
+    n = pos.shape[1] - 1
+    gs = int(round(math.sqrt(n)))
+    if (gh, gw) == (gs, gs):
+        return pos
+    grid = pos[:, 1:].reshape(1, gs, gs, VIT_DIM)
+    grid = resize_bilinear(grid, gh, gw, align_corners=False)
+    return jnp.concatenate([pos[:, :1], grid.reshape(1, gh * gw, VIT_DIM)], axis=1)
+
+
+def _readout_project(proj: Dict, tokens, gh: int, gw: int):
+    """DPT 'project' readout: concat cls onto every token, Linear + GELU,
+    reshape to the patch grid (MiDaS vit.py ProjectReadout)."""
+    spatial = tokens[:, 1:]
+    cls = jnp.broadcast_to(tokens[:, :1], spatial.shape)
+    h = linear(proj, jnp.concatenate([spatial, cls], axis=-1))
+    h = jax.nn.gelu(h, approximate=False)
+    return h.reshape(h.shape[0], gh, gw, VIT_DIM)
+
+
+def _rcu(p: Dict, x):
+    h = conv2d(p["conv1"], jnp.maximum(x, 0.0), padding=1)
+    h = conv2d(p["conv2"], jnp.maximum(h, 0.0), padding=1)
+    return h + x
+
+
+def _fusion(p: Dict, x, skip=None):
+    if skip is not None:
+        x = x + _rcu(p["rcu1"], skip)
+    x = _rcu(p["rcu2"], x)
+    x = resize_bilinear(x, 2 * x.shape[1], 2 * x.shape[2], align_corners=True)
+    return conv2d(p["out_conv"], x, padding=0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def dpt_forward(params: Dict, x) -> jnp.ndarray:
+    """Inverse-depth prediction for normalized [B, H, W, 3] input (H, W
+    multiples of 32). Returns [B, H, W] (MiDaS DPTDepthModel.forward with
+    non_negative=True, squeezed)."""
+    b, h0, w0, _ = x.shape
+    gh, gw = h0 // PATCH_STRIDE, w0 // PATCH_STRIDE
+
+    r1, r2, r3 = _resnet_forward(params["backbone"], x)
+
+    vit = params["vit"]
+    tokens = conv2d(vit["patch_proj"], r3, padding=0).reshape(b, gh * gw, VIT_DIM)
+    cls = jnp.broadcast_to(vit["cls_token"].astype(tokens.dtype), (b, 1, VIT_DIM))
+    tokens = jnp.concatenate([cls, tokens], axis=1)
+    tokens = tokens + _resize_pos_embed(vit["pos_embed"], gh, gw).astype(tokens.dtype)
+    hook_out = {}
+    for i, blk in enumerate(vit["blocks"]):
+        tokens = _vit_block(blk, tokens)
+        if i in HOOKS:
+            hook_out[i] = tokens
+
+    l3 = conv2d(params["post3"]["conv"],
+                _readout_project(params["post3"]["project"], hook_out[HOOKS[0]], gh, gw),
+                padding=0)
+    l4 = conv2d(params["post4"]["conv"],
+                _readout_project(params["post4"]["project"], hook_out[HOOKS[1]], gh, gw),
+                padding=0)
+    l4 = conv2d(params["post4"]["down"], l4, stride=2, padding=1)
+
+    sc = params["scratch"]
+    l1_rn = conv2d(sc["layer1_rn"], r1, padding=1)
+    l2_rn = conv2d(sc["layer2_rn"], r2, padding=1)
+    l3_rn = conv2d(sc["layer3_rn"], l3, padding=1)
+    l4_rn = conv2d(sc["layer4_rn"], l4, padding=1)
+
+    p4 = _fusion(sc["refinenet4"], l4_rn)
+    p3 = _fusion(sc["refinenet3"], p4, l3_rn)
+    p2 = _fusion(sc["refinenet2"], p3, l2_rn)
+    p1 = _fusion(sc["refinenet1"], p2, l1_rn)
+
+    h = conv2d(sc["head_conv1"], p1, padding=1)
+    h = resize_bilinear(h, 2 * h.shape[1], 2 * h.shape[2], align_corners=True)
+    h = jnp.maximum(conv2d(sc["head_conv2"], h, padding=1), 0.0)
+    h = jnp.maximum(conv2d(sc["head_conv3"], h, padding=0), 0.0)
+    return h[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# detector wrapper (controlnet_aux MidasDetector semantics)
+# ---------------------------------------------------------------------------
+
+
+def estimate_depth(params: Dict, image_rgb: np.ndarray) -> np.ndarray:
+    """uint8 RGB [H, W, 3] -> uint8 depth image [H, W, 3].
+
+    Matches the reference chain exactly: video_skeletons.py:71-74 resizes to
+    the enclosing multiple of 64 before calling the detector; controlnet_aux
+    MidasDetector normalizes with x/127.5 - 1, runs the model, min-max
+    normalizes the inverse depth and scales to uint8 grayscale."""
+    from PIL import Image
+
+    h, w = image_rgb.shape[:2]
+    nw, nh = (w // 64) * 64, (h // 64) * 64
+    img = Image.fromarray(image_rgb).resize((max(nw, 64), max(nh, 64)))
+    x = np.asarray(img, np.float32) / 127.5 - 1.0
+    depth = np.asarray(dpt_forward(params, jnp.asarray(x[None])))[0]
+    depth = depth - depth.min()
+    dmax = depth.max()
+    if dmax > 0:
+        depth = depth / dmax
+    gray = np.clip(depth * 255.0, 0, 255).astype(np.uint8)
+    out = np.stack([gray] * 3, axis=-1)
+    return np.asarray(Image.fromarray(out).resize((w, h)), np.uint8)

@@ -14,6 +14,10 @@ Backends:
     ``--hand_model`` / ``--face_model`` additionally enable the first-party
     hand/face keypoint networks (the OpenposeDetector hand_and_face=True
     capability the reference never turns on; default off to match).
+  - ``--depth_model <dpt_hybrid-midas-501f0c75.pt>``: the first-party JAX
+    MiDaS DPT-Hybrid port (models/midas.py) for ``--condition depth`` —
+    matches the controlnet_aux MidasDetector chain (mult-of-64 resize,
+    x/127.5-1 norm, min-max uint8) with zero external model deps.
   - otherwise: controlnet_aux OpenposeDetector / MidasDetector, with an
     actionable error if that stack is unavailable. The fallback also runs
     hand_and_face=False, matching the reference exactly.
@@ -76,6 +80,18 @@ def build_native_detector(
     return detect
 
 
+def build_native_depth_detector(depth_model: str):
+    """First-party backend: JAX MiDaS DPT-Hybrid (models/midas.py)."""
+    from motioneditor_tpu.models.midas import estimate_depth, load_dpt_params
+
+    params = load_dpt_params(depth_model)
+
+    def detect(img: Image.Image) -> np.ndarray:
+        return estimate_depth(params, np.asarray(img, np.uint8))
+
+    return detect
+
+
 def main():
     p = argparse.ArgumentParser("Video skeletons")
     p.add_argument("--data", type=str, required=True, help="frames dir")
@@ -94,12 +110,20 @@ def main():
         "--face_model", type=str, default=None,
         help="facenet.pth: overlay face landmarks (native backend)",
     )
+    p.add_argument(
+        "--depth_model", type=str, default=None,
+        help="dpt_hybrid-midas-501f0c75.pt -> native JAX MiDaS backend",
+    )
     args = p.parse_args()
 
     if args.body_model:
         if args.condition not in ("openpose", "openposefull"):
             raise SystemExit("--body_model implies an openpose condition")
         det = build_native_detector(args.body_model, args.hand_model, args.face_model)
+    elif args.depth_model:
+        if args.condition != "depth":
+            raise SystemExit("--depth_model implies --condition depth")
+        det = build_native_depth_detector(args.depth_model)
     else:
         det = build_detector(args.condition)
     out_dir = osp.join(args.save_dir, args.condition)
