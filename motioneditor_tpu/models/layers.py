@@ -161,7 +161,19 @@ def group_norm(params, x, num_groups: int = 32, eps: float = 1e-6):
     any activation statistic seen in SD UNets (post-conv GN inputs have
     |mean|/std < 10). tests/test_layers.py::test_group_norm_high_mean_stats
     pins this bound against the centered two-pass formulation.
+
+    Kernel note (round 3): even in the channel-minor layout XLA's
+    convert+column-reduce fusions run at single-digit % of HBM bandwidth
+    (~74 ms of the 24f denoise step). On single-chip TPU the stats (and the
+    backward's two reduces) route through the Pallas pair-stats kernel
+    (ops/gn_stats.py, exact custom VJP); this XLA path remains the fallback
+    and the multi-chip/GSPMD path.
     """
+    from motioneditor_tpu.ops.gn_stats import group_norm_fused
+
+    fused = group_norm_fused(params, x, num_groups, eps)
+    if fused is not None:
+        return fused
     orig_dtype = x.dtype
     c = x.shape[-1]
     b = x.shape[0]
