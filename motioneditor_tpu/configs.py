@@ -48,6 +48,9 @@ class ValidationDataConfig:
     use_null_inv: bool = True
     null_inner_steps: int = 1
     null_base_lr: float = 1e-2
+    # inner-loop early stop (null_text_optimization.py:159-162 / invert():
+    # break when loss < early_stop_epsilon + i * 2e-5)
+    early_stop_epsilon: float = 1e-5
     null_uncond_ratio: float = -0.5
     null_normal_infer: bool = True
     controlnet_conditioning_scale: float = 1.0

@@ -134,6 +134,7 @@ class MotionEditorPipeline:
         null_base_lr: float = 1e-2,
         guidance_scale: float = 7.5,
         null_normal_infer: bool = False,
+        early_stop_epsilon: float = 1e-5,
     ):
         """MyNullInversion.invert (null_text_optimization.py:171-179).
 
@@ -159,6 +160,7 @@ class MotionEditorPipeline:
             self.use_flash,
             self.null_text_dtype,
             self.shard_ctx,
+            early_stop_epsilon,
         )
         uncond_list = opt_fn(self.unet_params, all_latents, cond, uncond0, ts)
         return x_t, uncond_list
@@ -330,6 +332,7 @@ def _jit_ddim_invert(unet_config, schedule, num_steps, normal_infer, use_flash,
 def _jit_null_optimization(
     unet_config, schedule, num_steps, inner_steps, base_lr, guidance_scale,
     use_flash, compute_dtype="float32", shard_ctx=None,
+    early_stop_epsilon=1e-5,
 ):
     """Per-timestep Adam on the uncond embedding pinning the CFG trajectory
     to the inversion trajectory (null_text_optimization.py:136-169).
@@ -339,7 +342,17 @@ def _jit_null_optimization(
     — the same fp32-master mixed-precision scheme as training (training/
     stage1.py). The reference runs this phase fp32 only because that is the
     A100 default; on TPU the bf16 path is the production setting and fp32
-    remains the parity knob."""
+    remains the parity knob.
+
+    Early stop (null_text_optimization.py:159-162): the inner Adam loop
+    breaks once the trajectory loss after an update falls below
+    ``early_stop_epsilon + i * 2e-5`` — a ``lax.while_loop`` with the
+    reference's exact check order (update, then test the pre-update loss).
+    Work saved per step: the reference additionally re-runs BOTH CFG
+    branches for the latent advance (:167 ``get_noise_pred`` is a batched
+    two-branch call); here ``eps_cond`` is computed once per timestep and
+    reused, so each outer step costs 2 forwards + the inner
+    forward/backward pairs instead of the reference's 3 forwards."""
     cdt = jnp.dtype(compute_dtype)
 
     def run(unet_params, all_latents, cond, uncond0, ts):
@@ -365,20 +378,26 @@ def _jit_null_optimization(
                 return jnp.mean((prev_rec - latent_prev) ** 2)
 
             lr = base_lr * (1.0 - i.astype(jnp.float32) / 100.0)
+            thresh = early_stop_epsilon + i.astype(jnp.float32) * 2e-5
 
-            def adam_inner(j, state):
-                u, m, v = state
-                g = jax.grad(loss_fn)(u)
+            def adam_cond(state):
+                j, _, _, _, loss = state
+                return jnp.logical_and(j < inner_steps, loss >= thresh)
+
+            def adam_body(state):
+                j, u, m, v, _ = state
+                loss, g = jax.value_and_grad(loss_fn)(u)
                 m = 0.9 * m + 0.1 * g
                 v = 0.999 * v + 0.001 * g * g
                 jf = j.astype(jnp.float32) + 1.0
                 mhat = m / (1.0 - 0.9**jf)
                 vhat = v / (1.0 - 0.999**jf)
                 u = u - lr * mhat / (jnp.sqrt(vhat) + 1e-8)
-                return (u, m, v)
+                return (j + 1, u, m, v, loss)
 
-            u0 = (uncond, jnp.zeros_like(uncond), jnp.zeros_like(uncond))
-            uncond, _, _ = jax.lax.fori_loop(0, inner_steps, adam_inner, u0)
+            u0 = (jnp.zeros((), jnp.int32), uncond, jnp.zeros_like(uncond),
+                  jnp.zeros_like(uncond), jnp.asarray(jnp.inf, jnp.float32))
+            _, uncond, _, _, _ = jax.lax.while_loop(adam_cond, adam_body, u0)
 
             # advance latent with CFG using the optimized uncond (:165-167)
             eps_u = eps_fn(latent_cur, t, uncond)

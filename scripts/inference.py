@@ -151,6 +151,7 @@ def main(config_path: str):
             null_inner_steps=vd.null_inner_steps,
             null_base_lr=vd.null_base_lr,
             guidance_scale=vd.guidance_scale,
+            early_stop_epsilon=vd.early_stop_epsilon,
         )
     else:
         inv_latent = pipe.ddim_invert(

@@ -105,6 +105,26 @@ def test_null_text_inversion_shapes(pipe):
     assert np.isfinite(np.asarray(uncond)).all()
 
 
+def test_null_text_early_stop(pipe):
+    """The inner Adam loop breaks on loss < epsilon + i*2e-5
+    (null_text_optimization.py:159-162): a huge epsilon makes inner_steps=5
+    run exactly one update — identical to inner_steps=1 — while a negative
+    epsilon (never trips) must keep iterating and diverge from it."""
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 8, 4)) * 0.2
+    kw = dict(num_steps=2, null_base_lr=1e-1)
+    _, u_one = pipe.null_text_inversion(
+        lat, "a girl", null_inner_steps=1, early_stop_epsilon=-1.0, **kw
+    )
+    _, u_stopped = pipe.null_text_inversion(
+        lat, "a girl", null_inner_steps=5, early_stop_epsilon=1e9, **kw
+    )
+    _, u_full = pipe.null_text_inversion(
+        lat, "a girl", null_inner_steps=5, early_stop_epsilon=-1.0, **kw
+    )
+    np.testing.assert_allclose(np.asarray(u_stopped), np.asarray(u_one), atol=1e-6)
+    assert not np.allclose(np.asarray(u_full), np.asarray(u_one), atol=1e-6)
+
+
 def test_two_branch_edit_end_to_end(pipe):
     """Full __call__: 2 branches, injection from step 1, masks, controlnet."""
     f = 2
