@@ -162,12 +162,13 @@ def group_norm(params, x, num_groups: int = 32, eps: float = 1e-6):
     |mean|/std < 10). tests/test_layers.py::test_group_norm_high_mean_stats
     pins this bound against the centered two-pass formulation.
 
-    Kernel note (round 3): even in the channel-minor layout XLA's
-    convert+column-reduce fusions run at single-digit % of HBM bandwidth
-    (~74 ms of the 24f denoise step). On single-chip TPU the stats (and the
-    backward's two reduces) route through the Pallas pair-stats kernel
-    (ops/gn_stats.py, exact custom VJP); this XLA path remains the fallback
-    and the multi-chip/GSPMD path.
+    Kernel note (round 4): a Pallas pair-stats kernel for these reduces
+    exists (ops/gn_stats.py, exact custom VJP) but is DEFAULT-OFF — the
+    round-4 2x2 ablation measured it as an end-to-end regression (24f
+    denoise 72.88 -> 75.26 ms/step/frame): XLA fuses the stats as epilogues
+    of the producing conv/matmul fusions, and an opaque kernel strands
+    those epilogues into extra HBM round-trips. MOTIONEDITOR_FUSED_GN=1
+    opts in (e.g. to re-measure on another chip generation).
     """
     from motioneditor_tpu.ops.gn_stats import group_norm_fused
 

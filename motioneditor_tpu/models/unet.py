@@ -346,9 +346,10 @@ def basic_transformer_block(
             shard=ctx.shard,
         )
 
-    # fused residual-add + LN (ops/fused_norm.py): one VMEM pass instead of
-    # XLA's separate add and stats/normalize fusions. Gated to the kernel
-    # regime (the sharded path keeps GSPMD; pallas under a mesh replicates).
+    # fused residual-add + LN (ops/fused_norm.py): DEFAULT-OFF after the
+    # round-4 ablation measured it as a regression (add_layer_norm returns
+    # the plain add+LN unless MOTIONEDITOR_FUSED_LN=1 opts in); the shape
+    # gate keeps the sharded path on GSPMD (pallas under a mesh replicates).
     fuse_ln = ctx.use_flash and ctx.shard is None and tokens.shape[2] >= 512
     if fuse_ln:
         tokens, h = add_layer_norm(params["norm2"], tokens, attn1_out)

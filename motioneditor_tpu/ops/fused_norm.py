@@ -16,8 +16,15 @@ fusions. Stats are fp32 one-pass sum/sumsq over the channel axis.
 
 Autodiff: routed through ops/diffable.kernel_with_xla_vjp — training takes
 the plain XLA path (primal and grads), inference scans take the kernel.
-Replaces the reference's separate torch adds + LayerNorms
+Covers the reference's separate torch adds + LayerNorms
 (attention_2d.py:493-547); equivalence guarded by tests/test_fused_norm.py.
+
+STATUS (round 4): DEFAULT-OFF. The 2x2 end-to-end ablation (PERF.md
+round-4 table) measured the kernel as a regression — exactly the v6
+failure mode the module docstring above tried to dodge: the add+stats
+fusions it replaces were epilogues of the attention/FF output-projection
+fusions, so even with the add kept inside the kernel the projection must
+spill its output to HBM. Opt in with MOTIONEDITOR_FUSED_LN=1.
 """
 
 from __future__ import annotations
@@ -73,12 +80,25 @@ def _add_ln(tokens, delta, w, b, eps: float, block_n: int, interpret: bool):
     )(tokens, delta, w[None], b[None])
 
 
+def _enabled() -> bool:
+    from motioneditor_tpu.utils.runtime import env_flag
+
+    # Default OFF: the round-4 2x2 ablation measured this kernel as an
+    # end-to-end REGRESSION on v5e (24f denoise +~1.2 ms/step/frame on top
+    # of the GN kernel; PERF.md round-4 table) — the very failure mode the
+    # v6 probe documented (the XLA add+LN fusions were epilogues of the
+    # attention/FF output projections; an opaque kernel strands them).
+    # Kept behind the env knob for other chip generations.
+    return env_flag("MOTIONEDITOR_FUSED_LN", False)
+
+
 def add_layer_norm(params, tokens, delta, eps: float = 1e-5):
     """(tokens + delta, LayerNorm(tokens + delta)) over [B, F, N, C].
 
     The fused form of the transformer block's `tokens = tokens + attn_out;
     h = layer_norm(tokens)` pattern. Falls back to plain jnp for shapes
-    without a feasible row blocking; differentiable via the XLA oracle."""
+    without a feasible row blocking, or when MOTIONEDITOR_FUSED_LN
+    disables the kernel; differentiable via the XLA oracle."""
     from motioneditor_tpu.models.layers import layer_norm
     from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
 
@@ -91,10 +111,15 @@ def add_layer_norm(params, tokens, delta, eps: float = 1e-5):
         summed = tokens + delta
         return summed, layer_norm({"scale": w, "bias": bias}, summed, eps=eps)
 
-    if bn < 8:
+    if bn < 8 or not _enabled():
         return _oracle(tokens, delta, w, bias)
 
     def _kernel_path(tokens, delta, w, bias):
+        from motioneditor_tpu.ops.flop_count import add_kernel_flops
+
+        # the XLA add + stats + normalize fusions this replaces would be
+        # cost_analysis-visible: ~8 elementwise flops per element
+        add_kernel_flops(8 * b * f * n * c)
         # tuple-ify: pallas_call returns a list, custom_vjp needs the same
         # pytree structure as the oracle's tuple
         summed, normed = _add_ln(tokens, delta, w, bias, float(eps), bn, interpret)

@@ -16,17 +16,20 @@ The same primitive serves both directions of GroupNorm
             standard GN gradient; everything else is elementwise FMA
             that XLA fuses into neighbours.
 
-``group_norm_fused`` wires them into a custom-VJP GroupNorm whose hot
-reduces take this kernel in BOTH the inference scan and the null-text /
-training backward. Gradient math is exact (not an XLA-oracle bridge);
-equivalence vs the plain-XLA group_norm and its jax.grad is pinned by
-tests/test_gn_stats.py.
+``group_norm_fused`` wires them into a custom-VJP GroupNorm (exact
+gradient math, not an XLA-oracle bridge); equivalence vs the plain-XLA
+group_norm and its jax.grad is pinned by tests/test_gn_stats.py.
+
+STATUS (round 4): DEFAULT-OFF. The 2x2 end-to-end ablation (PERF.md
+round-4 table) measured the kernel as a regression — the "single-digit %
+of roofline" stats fusions it replaces were epilogues of the producing
+conv/matmul fusions, so the kernel adds a full activation write+read.
+Opt in with MOTIONEDITOR_FUSED_GN=1.
 """
 
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -88,23 +91,32 @@ def channel_pair_stats(a, b, interpret: bool | None = None):
 
     Returns None when no feasible row blocking exists (caller falls back
     to the XLA reduce)."""
+    from motioneditor_tpu.ops.flop_count import add_kernel_flops
+
     bt, s, c = a.shape
     rows = _pick_rows(s, c, max(a.dtype.itemsize, b.dtype.itemsize))
     if rows < 8 or s % rows:
         return None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # the XLA reduce this replaces would be cost_analysis-visible: count it
+    # (1 add for sum(a) + mul/add for sum(a*b) per element)
+    add_kernel_flops(3 * bt * s * c)
     return tuple(_pair_stats(a, b, rows, interpret))
 
 
 def _enabled() -> bool:
-    env = os.environ.get("MOTIONEDITOR_FUSED_GN")
-    if env is not None:
-        return env not in ("0", "false", "")
-    # Single-chip TPU default. Under a real multi-chip mesh GSPMD would
-    # all-gather the pallas_call operands (correct but slow) — disable via
-    # the env knob there; the virtual CPU mesh never reaches this path.
-    return jax.default_backend() == "tpu"
+    from motioneditor_tpu.utils.runtime import env_flag
+
+    # Default OFF: the round-4 2x2 ablation measured this kernel as an
+    # end-to-end REGRESSION on v5e (24f denoise 72.88 -> 75.26 ms/step/frame
+    # with GN alone; PERF.md round-4 table). The standalone stats reduce is
+    # faster than XLA's convert_reduce fusions, but those fusions were
+    # epilogues of the producing conv/matmul fusions — an opaque pallas_call
+    # forces the producer to write the activation to HBM and the kernel to
+    # re-read it, costing more than the reduce saves (same mechanism as the
+    # v6 LN probe). Kept behind the env knob for other chip generations.
+    return env_flag("MOTIONEDITOR_FUSED_GN", False)
 
 
 # ---------------------------------------------------------------------------

@@ -21,3 +21,11 @@ def setup(precision: str = "default", cache_dir: str = "/tmp/jax_cache") -> None
         pass
     if precision == "highest":
         jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def env_flag(name: str, default: bool) -> bool:
+    """Boolean env knob: unset -> default; common falsy spellings disable."""
+    env = os.environ.get(name)
+    if env is None:
+        return default
+    return env.strip().lower() not in ("0", "false", "no", "off", "")

@@ -3,9 +3,17 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from motioneditor_tpu.models.layers import layer_norm
 from motioneditor_tpu.ops.fused_norm import add_layer_norm
+
+
+@pytest.fixture(autouse=True)
+def _force_kernel_on(monkeypatch):
+    """Exercise the kernel path regardless of the single-chip-TPU default
+    gate (interpret mode off-TPU)."""
+    monkeypatch.setenv("MOTIONEDITOR_FUSED_LN", "1")
 
 
 def _params(c, key):

@@ -95,3 +95,24 @@ def test_infeasible_shape_falls_back(monkeypatch):
     assert group_norm_fused(p, x, 32, 1e-6) is None
     y = group_norm(p, x, 32, 1e-6)  # layers path must still work
     np.testing.assert_allclose(np.asarray(y), np.asarray(_xla_gn(p, x, 32)), atol=1e-6)
+
+
+@pytest.mark.parametrize("val", ["0", "false", "False", "no", "off", "OFF", " 0 "])
+def test_env_knob_falsy_spellings_disable(monkeypatch, val):
+    """Common falsy spellings must disable the kernel (advisor round-3)."""
+    from motioneditor_tpu.utils.runtime import env_flag
+
+    monkeypatch.setenv("MOTIONEDITOR_FUSED_GN", val)
+    assert env_flag("MOTIONEDITOR_FUSED_GN", True) is False
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 64), jnp.float32)
+    assert group_norm_fused(init_group_norm(64), x, 32, 1e-6) is None
+
+
+def test_env_knob_truthy_and_default(monkeypatch):
+    from motioneditor_tpu.utils.runtime import env_flag
+
+    monkeypatch.setenv("X_FLAG", "1")
+    assert env_flag("X_FLAG", False) is True
+    monkeypatch.delenv("X_FLAG", raising=False)
+    assert env_flag("X_FLAG", True) is True
+    assert env_flag("X_FLAG", False) is False
