@@ -75,3 +75,11 @@ def test_sharded_flash_train_step():
     reference loss (backward flows through the halo collectives)."""
     out = _run("train_step_flash")
     assert "train_step_flash OK" in out
+
+
+def test_tp_composes_with_flash_kernels():
+    """Model-sharded weights + frame-sharded Pallas kernels in one program:
+    matches the replicated reference; GSPMD gathers the model axis at the
+    kernel boundary (measured behavior, documented in PARITY.md §2.8)."""
+    out = _run("tp_flash")
+    assert "tp_flash OK" in out
