@@ -26,17 +26,34 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 import numpy as np
 
 
+_IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
 def load_video(path: str) -> np.ndarray:
-    """GIF/MP4 file or a directory of frames -> [F, H, W, 3] in [0,1]."""
+    """GIF/MP4 file or a directory of frames -> [F, H, W, 3] in [0,1].
+
+    Directories may be either a flat frame dir or a reference case dir
+    (``data/case-N`` with an ``images/`` subdir next to ``frame_list.txt``,
+    ``man.mask`` etc. — motion_editor/data/dataset.py:35-61); non-image
+    entries are skipped so the cached ``frame_list.txt`` never trips PIL."""
     import imageio
     from PIL import Image
 
     if osp.isdir(path):
         from glob import glob
 
+        if osp.isdir(osp.join(path, "images")):
+            path = osp.join(path, "images")
+        frame_paths = [
+            p
+            for p in sorted(glob(osp.join(path, "*")))
+            if p.lower().endswith(_IMAGE_EXTS)
+        ]
+        if not frame_paths:
+            raise FileNotFoundError(f"no image frames ({'/'.join(_IMAGE_EXTS)}) in {path}")
         frames = [
             np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
-            for p in sorted(glob(osp.join(path, "*")))
+            for p in frame_paths
         ]
         return np.stack(frames)
     reader = imageio.get_reader(path)
@@ -51,6 +68,7 @@ def main():
     p.add_argument("--edit", type=str, default=None)
     p.add_argument("--prompt", type=str, default=None)
     p.add_argument("--clip_path", type=str, default="checkpoints/clip-vit-large-patch14")
+    p.add_argument("--out", type=str, default=None, help="also write the metrics JSON here")
     args = p.parse_args()
 
     from motioneditor_tpu.utils.runtime import setup
@@ -101,7 +119,11 @@ def main():
                 frame_clip_consistency(jnp.asarray(edit), img_params)
             )
 
-    print(json.dumps(out, indent=2))
+    text = json.dumps(out, indent=2)
+    print(text)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(text + "\n")
 
 
 if __name__ == "__main__":
