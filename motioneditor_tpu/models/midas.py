@@ -508,10 +508,15 @@ def dpt_forward(params: Dict, x) -> jnp.ndarray:
 def estimate_depth(params: Dict, image_rgb: np.ndarray) -> np.ndarray:
     """uint8 RGB [H, W, 3] -> uint8 depth image [H, W, 3].
 
-    Matches the reference chain exactly: video_skeletons.py:71-74 resizes to
-    the enclosing multiple of 64 before calling the detector; controlnet_aux
-    MidasDetector normalizes with x/127.5 - 1, runs the model, min-max
-    normalizes the inverse depth and scales to uint8 grayscale."""
+    Reference chain (video_skeletons.py:72-82): resize to the FLOORED
+    multiple of 64, then controlnet_aux MidasDetector normalizes with
+    x/127.5 - 1, runs the model, min-max normalizes the inverse depth and
+    scales to uint8 grayscale. Deliberate deviation: the reference's
+    ``cond.resize((width, height))`` at :82 discards its result (PIL resize
+    is not in-place), so the reference saves the floored-size image; here
+    the resize-back is applied so the output matches the input resolution —
+    behaviorally equivalent downstream because VideoDataset bilinear-resizes
+    every condition to the training size anyway (dataset.py:128-137)."""
     from PIL import Image
 
     h, w = image_rgb.shape[:2]

@@ -119,10 +119,6 @@ def main():
     lat = jax.random.normal(jax.random.PRNGKey(1), (2, f, hw, hw, 4), dtype)
     cond = jax.random.normal(jax.random.PRNGKey(2), (2, 77, 768), dtype)
     uncond = jax.random.normal(jax.random.PRNGKey(3), (2, 77, 768), dtype)
-    cond_emb = jax.tree_util.tree_map(
-        lambda x: x.astype(dtype),
-        jax.eval_shape(lambda: None) if False else None,
-    )
     # cond embedding: tiny precompute, run it for real
     from motioneditor_tpu.models.controlnet import precompute_cond_embedding
 
@@ -141,7 +137,6 @@ def main():
         unet_params, cn_params, lat, all_ts[4 : 4 + args.steps],
         cond, uncond, dummy_uncond, cond_emb, masks, jnp.zeros(()),
     )
-    lowered = jax.jit(seg_fn.__wrapped__ if hasattr(seg_fn, "__wrapped__") else seg_fn)
     compiled = jax.jit(lambda *a: seg_fn(*a)).lower(*fargs).compile()
     hlo = compiled.as_text()
     print(f"optimized HLO: {len(hlo)} chars")
