@@ -82,10 +82,35 @@ def main():
     out = {}
 
     def match(a, b):
+        """Align two videos for pixel metrics: crop to the common frame
+        count, and RESIZE (bilinear) the larger spatial resolution down to
+        the smaller — the source is typically full-res while the generated
+        clip is at the config's width/height, and a blind crop would compare
+        a corner of the source against the whole generation."""
         f = min(a.shape[0], b.shape[0])
+        a, b = a[:f], b[:f]
+
+        def resize_to(x, h, w):
+            if x.shape[1] == h and x.shape[2] == w:
+                return x
+            from PIL import Image
+
+            return np.stack(
+                [
+                    np.asarray(
+                        Image.fromarray(
+                            (np.clip(fr, 0, 1) * 255).astype(np.uint8)
+                        ).resize((w, h), Image.BILINEAR),
+                        np.float32,
+                    )
+                    / 255.0
+                    for fr in x
+                ]
+            )
+
         h = min(a.shape[1], b.shape[1])
         w = min(a.shape[2], b.shape[2])
-        return a[:f, :h, :w], b[:f, :h, :w]
+        return resize_to(a, h, w), resize_to(b, h, w)
 
     if args.recon:
         recon = load_video(args.recon)
