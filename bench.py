@@ -132,7 +132,14 @@ def main():
         return out
 
     # ---- model flops per step: XLA cost_analysis (counts the scanned while
-    # body once) + analytic Pallas-kernel flops recorded at trace time
+    # body once) + analytic Pallas-kernel flops recorded at trace time.
+    # Coverage: every Pallas kernel reachable from this program registers
+    # its model flops via ops/flop_count.add_kernel_flops (video_flash,
+    # video_injection(+_kv), temporal_flash, flash_attention, legacy
+    # injection_flash, and the opt-in gn_stats/fused_norm kernels), so work
+    # moved from XLA fusions into kernels stays visible to the MFU below.
+    # Backward kernels (video_flash_bwd) are not in this forward-only
+    # program; cost_analysis covers everything that is not a custom-call.
     kernel_flops = 0.0
     xla_flops = 0.0
     try:

@@ -300,9 +300,12 @@ def fused_injection_attention(
 
     Differentiable via the XLA concat oracle (ops/diffable.py)."""
     from motioneditor_tpu.ops.diffable import kernel_with_xla_vjp
+    from motioneditor_tpu.ops.flop_count import add_kernel_flops
 
     b, f, h, nq, d = q.shape
     ns, nt = k_src.shape[-2], k_tgt.shape[-2]
+    # score + PV matmuls over the [2*Ns fg/bg-src + Nt tgt] virtual concat
+    add_kernel_flops(2 * 2 * b * f * h * nq * (2 * ns + nt) * d)
     bk = min(block_k, ns)
     while ns % bk != 0:
         bk //= 2
