@@ -120,18 +120,53 @@ def init_temporal_conv(key, channels: int, kernel_size: int = 3, zero_init: bool
 
 
 def temporal_conv(params, video, padding="SAME"):
-    """[B, F, H, W, C] -> conv over F at each spatial site (resnet_2d.py:18-26)."""
+    """[B, F, H, W, C] -> conv over F at each spatial site (resnet_2d.py:18-26).
+
+    Layout note (measured on v5e, round-4 copy audit, 24f denoise bench):
+    the obvious ``transpose -> lax.conv NWC -> transpose back`` lowering
+    relayouts the full activation twice per call (~16 ms/step of pure
+    copies in the 24f trace; 72.88 ms/step/frame end-to-end). Two
+    native-layout reformulations were measured:
+      - K shifted channel-matmuls (this form): out[f] =
+        sum_k (video @ W[k])[f + k - pad_lo]; frame shifts are pad/slice
+        fusions. 72.40 ms/step/frame.
+      - (K, 1)-window 2D conv over spatial dims (F, H*W): keeps conv
+        layouts end-to-end, but the conv itself runs slower than the
+        co-scheduled small-N dots. 72.53 ms/step/frame.
+    The matmul form wins and ships; note its dots pull the producing
+    conv's output to the default layout (~relayout copies at the conv
+    bias-add), which is already priced into the 72.40."""
     b, f, h, w, c = video.shape
-    x = video.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
-    y = jax.lax.conv_general_dilated(
-        x,
-        params["kernel"].astype(x.dtype),
-        window_strides=(1,),
-        padding=padding,
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    )
-    y = y + params["bias"].astype(x.dtype)
-    return y.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+    kernel = params["kernel"].astype(video.dtype)  # [K, C_in, C_out]
+    ksz = kernel.shape[0]
+    if padding == "SAME":
+        pad_lo = (ksz - 1) // 2  # lax SAME for stride 1: lo=(K-1)//2
+        f_out = f
+    elif padding == "VALID":
+        pad_lo = 0
+        f_out = f - ksz + 1
+    else:
+        raise ValueError(f"temporal_conv: unsupported padding {padding!r}")
+    acc = None
+    for kk in range(ksz):
+        u = jnp.einsum("bfhwc,cd->bfhwd", video, kernel[kk])
+        lo = kk - pad_lo  # out[t] reads u[t + lo]
+        src_start = max(lo, 0)
+        src_stop = min(f, f_out + lo)
+        term = u[:, src_start:src_stop]
+        dst_start = src_start - lo
+        term = jnp.pad(
+            term,
+            (
+                (0, 0),
+                (dst_start, f_out - (src_stop - lo)),
+                (0, 0),
+                (0, 0),
+                (0, 0),
+            ),
+        )
+        acc = term if acc is None else acc + term
+    return acc + params["bias"].astype(video.dtype)
 
 
 def init_group_norm(num_channels: int):

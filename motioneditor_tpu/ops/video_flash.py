@@ -94,7 +94,9 @@ def _head_lane_matrix(heads: int, d: int):
     return (hh == cols).astype(jnp.float32)
 
 
-def _kernel_nomax(q_ref, k_ref, v_ref, o_ref, acc_scr, l_scr, *, heads: int):
+def _kernel_nomax(
+    q_ref, k_ref, v_ref, o_ref, acc_scr, l_scr, *, heads: int, q_scale: float
+):
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
     c = q_ref.shape[-1]
@@ -107,12 +109,17 @@ def _kernel_nomax(q_ref, k_ref, v_ref, o_ref, acc_scr, l_scr, *, heads: int):
         l_scr[:] = jnp.zeros_like(l_scr)
 
     prec = jax.lax.Precision.DEFAULT
-    qb = q_ref[0, 0]  # (bq, C), pre-scaled by scale*log2e
+    qb = q_ref[0, 0]  # (bq, C), raw
     kb_blk = k_ref[0, 0]  # (bk, C)
     vb = v_ref[0, 0]
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        s = jax.lax.dot_general(
+        # scale*log2e applied to the fp32 score tile IN-KERNEL: a VPU
+        # multiply hidden under the MXU passes (v6 ablation), vs the old
+        # HBM-level q pre-scale which materialized a full fp32 relayout
+        # copy per call (elementwise ops cannot fuse into a pallas_call
+        # operand) — ~10.6 ms/step of the 24f denoise trace.
+        s = q_scale * jax.lax.dot_general(
             qb[:, sl], kb_blk[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
@@ -132,7 +139,10 @@ def _kernel_nomax(q_ref, k_ref, v_ref, o_ref, acc_scr, l_scr, *, heads: int):
         o_ref[0, 0] = (acc_scr[:] / (l_lane + 1e-30)).astype(o_ref.dtype)
 
 
-def _kernel_maxsafe(q_ref, k_ref, v_ref, o_ref, acc_scr, l_scr, m_scr, *, heads: int):
+def _kernel_maxsafe(
+    q_ref, k_ref, v_ref, o_ref, acc_scr, l_scr, m_scr, *, heads: int,
+    q_scale: float,
+):
     """fp32 parity path: exact per-head running-max softmax."""
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
@@ -155,7 +165,7 @@ def _kernel_maxsafe(q_ref, k_ref, v_ref, o_ref, acc_scr, l_scr, m_scr, *, heads:
     vb = v_ref[0, 0]
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        s = jax.lax.dot_general(
+        s = q_scale * jax.lax.dot_general(
             qb[:, sl], kb_blk[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
@@ -190,7 +200,6 @@ def _video_flash(q, k, v, mode: str, scale: float, heads: int,
     b, f, n, c = q.shape
     nomax = q.dtype == jnp.bfloat16
     q_scale = scale * _LOG2E if nomax else scale
-    qs = (q.astype(jnp.float32) * q_scale).astype(q.dtype)
 
     nb = n // block_k  # kv blocks per source frame
     if mode == "normal":
@@ -221,13 +230,15 @@ def _video_flash(q, k, v, mode: str, scale: float, heads: int,
         return (bfi // f, frame, blk, 0)
 
     if nomax:
-        kernel = functools.partial(_kernel_nomax, heads=heads)
+        kernel = functools.partial(_kernel_nomax, heads=heads, q_scale=q_scale)
         scratch = [
             pltpu.VMEM((block_q, c), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
         ]
     else:
-        kernel = functools.partial(_kernel_maxsafe, heads=heads)
+        kernel = functools.partial(
+            _kernel_maxsafe, heads=heads, q_scale=q_scale
+        )
         scratch = [
             pltpu.VMEM((block_q, c), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -246,7 +257,7 @@ def _video_flash(q, k, v, mode: str, scale: float, heads: int,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(qs, k, v)
+    )(q, k, v)
 
 
 def video_flash_attention(
@@ -366,7 +377,7 @@ def video_flash_supported(
 
 def _inj_kernel_nomax(
     q_ref, ks_ref, vs_ref, m_ref, kt_ref, vt_ref, o_ref, acc_scr, l_scr,
-    *, heads: int, n_src_blocks: int,
+    *, heads: int, n_src_blocks: int, q_scale: float,
 ):
     """bf16 target-row injection: softmax over [K_src*m, K_src*(1-m), K_tgt]
     with V [V_src, V_src, V_tgt] via the q.(k*m) = m.(q.k) identity
@@ -392,7 +403,7 @@ def _inj_kernel_nomax(
         mask = m_ref[0, 0].astype(jnp.float32)  # (bk,)
         for h in range(heads):
             sl = slice(h * d, (h + 1) * d)
-            s = jax.lax.dot_general(
+            s = q_scale * jax.lax.dot_general(
                 qb[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )
@@ -413,7 +424,7 @@ def _inj_kernel_nomax(
         vv = vt_ref[0, 0]
         for h in range(heads):
             sl = slice(h * d, (h + 1) * d)
-            s = jax.lax.dot_general(
+            s = q_scale * jax.lax.dot_general(
                 qb[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )
@@ -435,7 +446,7 @@ def _inj_kernel_nomax(
 
 def _inj_kernel_maxsafe(
     q_ref, ks_ref, vs_ref, m_ref, kt_ref, vt_ref, o_ref, acc_scr, l_scr, m_scr,
-    *, heads: int, n_src_blocks: int,
+    *, heads: int, n_src_blocks: int, q_scale: float,
 ):
     """fp32 parity variant: exact per-head running max over the fg/bg/tgt
     score streams (port of ops/injection_flash._kernel)."""
@@ -464,7 +475,7 @@ def _inj_kernel_maxsafe(
         mask = m_ref[0, 0].astype(jnp.float32)
         for h in range(heads):
             sl = slice(h * d, (h + 1) * d)
-            s = jax.lax.dot_general(
+            s = q_scale * jax.lax.dot_general(
                 qb[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )
@@ -492,7 +503,7 @@ def _inj_kernel_maxsafe(
         vv = vt_ref[0, 0]
         for h in range(heads):
             sl = slice(h * d, (h + 1) * d)
-            s = jax.lax.dot_general(
+            s = q_scale * jax.lax.dot_general(
                 qb[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )
@@ -527,7 +538,6 @@ def _video_injection(q, k_src, v_src, k_tgt, v_tgt, mask, scale: float,
     b, f, n, c = q.shape
     nomax = q.dtype == jnp.bfloat16
     q_scale = scale * _LOG2E if nomax else scale
-    qs = (q.astype(jnp.float32) * q_scale).astype(q.dtype)
 
     nb = n // block_k
     n_src_blocks = 2 * nb  # motion-frame source: [frame f-1 | frame f]
@@ -560,7 +570,8 @@ def _video_injection(q, k_src, v_src, k_tgt, v_tgt, mask, scale: float,
 
     if nomax:
         kernel = functools.partial(
-            _inj_kernel_nomax, heads=heads, n_src_blocks=n_src_blocks
+            _inj_kernel_nomax, heads=heads, n_src_blocks=n_src_blocks,
+            q_scale=q_scale,
         )
         scratch = [
             pltpu.VMEM((block_q, c), jnp.float32),
@@ -568,7 +579,8 @@ def _video_injection(q, k_src, v_src, k_tgt, v_tgt, mask, scale: float,
         ]
     else:
         kernel = functools.partial(
-            _inj_kernel_maxsafe, heads=heads, n_src_blocks=n_src_blocks
+            _inj_kernel_maxsafe, heads=heads, n_src_blocks=n_src_blocks,
+            q_scale=q_scale,
         )
         scratch = [
             pltpu.VMEM((block_q, c), jnp.float32),
@@ -591,7 +603,7 @@ def _video_injection(q, k_src, v_src, k_tgt, v_tgt, mask, scale: float,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(qs, k_src, v_src, mask3, k_tgt, v_tgt)
+    )(q, k_src, v_src, mask3, k_tgt, v_tgt)
 
 
 def video_injection_attention(
@@ -682,7 +694,6 @@ def _video_flash_kv(q, k, v, scale: float, heads: int,
     fk, m = k.shape[1], k.shape[2]
     nomax = q.dtype == jnp.bfloat16
     q_scale = scale * _LOG2E if nomax else scale
-    qs = (q.astype(jnp.float32) * q_scale).astype(q.dtype)
 
     grid = (b * f, n // block_q, m // block_k)
 
@@ -697,13 +708,15 @@ def _video_flash_kv(q, k, v, scale: float, heads: int,
             return (bfi // f, bfi % f, ki, 0)
 
     if nomax:
-        kernel = functools.partial(_kernel_nomax, heads=heads)
+        kernel = functools.partial(_kernel_nomax, heads=heads, q_scale=q_scale)
         scratch = [
             pltpu.VMEM((block_q, c), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
         ]
     else:
-        kernel = functools.partial(_kernel_maxsafe, heads=heads)
+        kernel = functools.partial(
+            _kernel_maxsafe, heads=heads, q_scale=q_scale
+        )
         scratch = [
             pltpu.VMEM((block_q, c), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -722,7 +735,7 @@ def _video_flash_kv(q, k, v, scale: float, heads: int,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(qs, k, v)
+    )(q, k, v)
 
 
 def video_flash_kv_supported(
@@ -801,7 +814,6 @@ def _video_injection_kv(q, k_src, v_src, mask, k_tgt, v_tgt, scale: float,
     m_src = k_src.shape[2]
     nomax = q.dtype == jnp.bfloat16
     q_scale = scale * _LOG2E if nomax else scale
-    qs = (q.astype(jnp.float32) * q_scale).astype(q.dtype)
 
     nb_src = m_src // block_k
     nb_tgt = n // block_k
@@ -826,7 +838,8 @@ def _video_injection_kv(q, k_src, v_src, mask, k_tgt, v_tgt, scale: float,
 
     if nomax:
         kernel = functools.partial(
-            _inj_kernel_nomax, heads=heads, n_src_blocks=nb_src
+            _inj_kernel_nomax, heads=heads, n_src_blocks=nb_src,
+            q_scale=q_scale,
         )
         scratch = [
             pltpu.VMEM((block_q, c), jnp.float32),
@@ -834,7 +847,8 @@ def _video_injection_kv(q, k_src, v_src, mask, k_tgt, v_tgt, scale: float,
         ]
     else:
         kernel = functools.partial(
-            _inj_kernel_maxsafe, heads=heads, n_src_blocks=nb_src
+            _inj_kernel_maxsafe, heads=heads, n_src_blocks=nb_src,
+            q_scale=q_scale,
         )
         scratch = [
             pltpu.VMEM((block_q, c), jnp.float32),
@@ -857,7 +871,7 @@ def _video_injection_kv(q, k_src, v_src, mask, k_tgt, v_tgt, scale: float,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(qs, k_src, v_src, mask3, k_tgt, v_tgt)
+    )(q, k_src, v_src, mask3, k_tgt, v_tgt)
 
 
 def video_injection_attention_kv(

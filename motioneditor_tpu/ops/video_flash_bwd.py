@@ -98,7 +98,9 @@ def _src_frame(mode: str, src, fr):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_res_nomax(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_scr, l_scr, *, heads):
+def _fwd_res_nomax(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_scr, l_scr, *, heads, q_scale
+):
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
     c = q_ref.shape[-1]
@@ -115,7 +117,7 @@ def _fwd_res_nomax(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_scr, l_scr, *, heads
     vb = v_ref[0, 0]
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        s = jax.lax.dot_general(
+        s = q_scale * jax.lax.dot_general(
             qb[:, sl], kb_blk[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
@@ -138,7 +140,8 @@ def _fwd_res_nomax(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_scr, l_scr, *, heads
 
 
 def _fwd_res_maxsafe(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_scr, l_scr, m_scr, *, heads
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_scr, l_scr, m_scr, *, heads,
+    q_scale,
 ):
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
@@ -161,7 +164,7 @@ def _fwd_res_maxsafe(
     vb = v_ref[0, 0]
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        s = jax.lax.dot_general(
+        s = q_scale * jax.lax.dot_general(
             qb[:, sl], kb_blk[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
@@ -197,7 +200,6 @@ def video_flash_fwd_res(q, k, v, mode, scale, heads, block_q, block_k, interpret
     b, f, n, c = q.shape
     nomax = q.dtype == jnp.bfloat16
     q_scale = scale * _LOG2E if nomax else scale
-    qs = (q.astype(jnp.float32) * q_scale).astype(q.dtype)
 
     nb = n // block_k
     grid = (b * f, n // block_q, _sources(mode, f) * nb)
@@ -209,13 +211,15 @@ def video_flash_fwd_res(q, k, v, mode, scale, heads, block_q, block_k, interpret
         return (bfi // f, _src_frame(mode, ki // nb, bfi % f), ki % nb, 0)
 
     if nomax:
-        kernel = functools.partial(_fwd_res_nomax, heads=heads)
+        kernel = functools.partial(_fwd_res_nomax, heads=heads, q_scale=q_scale)
         scratch = [
             pltpu.VMEM((block_q, c), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
         ]
     else:
-        kernel = functools.partial(_fwd_res_maxsafe, heads=heads)
+        kernel = functools.partial(
+            _fwd_res_maxsafe, heads=heads, q_scale=q_scale
+        )
         scratch = [
             pltpu.VMEM((block_q, c), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -240,7 +244,7 @@ def video_flash_fwd_res(q, k, v, mode, scale, heads, block_q, block_k, interpret
         ],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(qs, k, v)
+    )(q, k, v)
 
 
 # ---------------------------------------------------------------------------
@@ -250,7 +254,7 @@ def video_flash_fwd_res(q, k, v, mode, scale, heads, block_q, block_k, interpret
 
 def _dq_kernel(
     q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref, dq_scr, d_scr,
-    *, heads, nomax, dq_mult,
+    *, heads, nomax, dq_mult, q_scale,
 ):
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
@@ -279,7 +283,7 @@ def _dq_kernel(
     vv = v_ref[0, 0]
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        s = jax.lax.dot_general(
+        s = q_scale * jax.lax.dot_general(
             qb[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
@@ -311,7 +315,7 @@ def _dq_kernel(
 
 def _dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dkp_ref, dvp_ref,
-    dk_scr, dv_scr, *, heads, nomax, dk_mult,
+    dk_scr, dv_scr, *, heads, nomax, dk_mult, q_scale,
 ):
     qi = pl.program_id(3)
     num_q = pl.num_programs(3)
@@ -336,7 +340,7 @@ def _dkv_kernel(
     prod = (do.astype(jnp.float32)) * (o_ref[0, 0].astype(jnp.float32))
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        s = jax.lax.dot_general(
+        s = q_scale * jax.lax.dot_general(
             qb[:, sl], kk[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
@@ -357,7 +361,7 @@ def _dkv_kernel(
         ds = p * (dp - dh)
         if nomax:
             ds = jnp.where(s < _CAP2, ds, 0.0)
-        # dK_h += dS^T Q_h (q pre-scaled; dk_mult fixes the log2e factor)
+        # dK_h += dS^T Q_h (q raw; dk_mult carries the scale factor)
         dk_scr[:, sl] = dk_scr[:, sl] + jax.lax.dot_general(
             ds.astype(qb.dtype), qb[:, sl], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
@@ -379,9 +383,11 @@ def video_flash_bwd(q, k, v, out, lse, do, mode, scale, heads,
     b, f, n, c = q.shape
     nomax = q.dtype == jnp.bfloat16
     q_scale = scale * _LOG2E if nomax else scale
-    qs = (q.astype(jnp.float32) * q_scale).astype(q.dtype)
+    # q enters the kernels RAW (scores scaled in-VMEM, see the forward
+    # kernels' q_scale note), so both dQ = scale * dS K and
+    # dK = scale * dS^T Q carry the plain scale factor.
     dq_mult = scale
-    dk_mult = (1.0 / _LOG2E) if nomax else 1.0
+    dk_mult = scale
 
     nb = n // block_k
     nq = n // block_q
@@ -395,7 +401,10 @@ def video_flash_bwd(q, k, v, out, lse, do, mode, scale, heads,
         return (bfi // f, _src_frame(mode, ki // nb, bfi % f), ki % nb, 0)
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, heads=heads, nomax=nomax, dq_mult=dq_mult),
+        functools.partial(
+            _dq_kernel, heads=heads, nomax=nomax, dq_mult=dq_mult,
+            q_scale=q_scale,
+        ),
         grid=(b * f, nq, n_src * nb),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, c), q_idx3),
@@ -412,7 +421,7 @@ def video_flash_bwd(q, k, v, out, lse, do, mode, scale, heads,
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(qs, k, v, do, out, lse)
+    )(q, k, v, do, out, lse)
 
     # partials: grid (b*f, src, kv_block, q_block) — q innermost so each
     # output block's accumulation is a consecutive revisit sequence
@@ -426,7 +435,10 @@ def video_flash_bwd(q, k, v, out, lse, do, mode, scale, heads,
         return (bfi // f, bfi % f, src, ki, 0)
 
     dkp, dvp = pl.pallas_call(
-        functools.partial(_dkv_kernel, heads=heads, nomax=nomax, dk_mult=dk_mult),
+        functools.partial(
+            _dkv_kernel, heads=heads, nomax=nomax, dk_mult=dk_mult,
+            q_scale=q_scale,
+        ),
         grid=(b * f, n_src, nb, nq),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, c), q_idx4),
@@ -453,7 +465,7 @@ def video_flash_bwd(q, k, v, out, lse, do, mode, scale, heads,
             pltpu.VMEM((block_k, c), jnp.float32),
         ],
         interpret=interpret,
-    )(qs, k, v, do, out, lse)
+    )(q, k, v, do, out, lse)
 
     dk = _combine_partials(dkp, mode).astype(k.dtype)
     dv = _combine_partials(dvp, mode).astype(v.dtype)
