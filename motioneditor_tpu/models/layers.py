@@ -243,10 +243,16 @@ def init_layer_norm(dim: int):
 
 
 def _ln_dot_stats_enabled() -> bool:
-    """Default ON (measured end-to-end win, see layer_norm note);
-    MOTIONEDITOR_LN_DOT_STATS=0 opts out."""
-    env = os.environ.get("MOTIONEDITOR_LN_DOT_STATS", "1")
-    return env.strip().lower() not in ("0", "false", "no", "off")
+    """Default: TPU-only (measured end-to-end win there, see layer_norm
+    note). The dot-against-ones stats form is a TPU layout/MXU optimization;
+    on other backends it is at best neutral and it costs extra HLO, so the
+    default follows the backend (the gn_stats lesson: gate TPU-layout
+    optimizations on backend, not env alone).
+    MOTIONEDITOR_LN_DOT_STATS=0/1 overrides either way."""
+    env = os.environ.get("MOTIONEDITOR_LN_DOT_STATS")
+    if env is not None:
+        return env.strip().lower() not in ("0", "false", "no", "off", "")
+    return jax.default_backend() == "tpu"
 
 
 def layer_norm(params, x, eps: float = 1e-5):
@@ -260,10 +266,14 @@ def layer_norm(params, x, eps: float = 1e-5):
     chose). Computing the channel sums as an MXU dot against a ones vector
     instead (both s1 and s2, fp32 accumulation) measures end-to-end
     72.07 -> 70.65 ms/step/frame at the BASELINE shape (24f 512px bf16,
-    MFU 0.398 -> 0.406). Variance comes from bf16-rounded squares
-    (rel err ~2^-9, inside bf16 output rounding); fp32 inputs — the parity
-    path (mixed_precision: "no") — keep the exact fp32 reduce form.
-    MOTIONEDITOR_LN_DOT_STATS=0 opts out.
+    MFU 0.398 -> 0.406). Numerics: the one-pass variance is computed from
+    bf16-rounded squares (each ~2^-9 relative), so after the E[x^2]-mean^2
+    cancellation the variance error is ~(mean/std)^2 * 2^-9 / sqrt(C)
+    relative — ~1% normalized-output error at |mean|/std=5 (the realistic
+    ceiling for SD transformer LN inputs), pinned by
+    test_layer_norm_bf16_high_mean_stats. fp32 inputs — the parity path
+    (mixed_precision: "no") — keep the exact fp32 reduce form.
+    Default TPU-only; MOTIONEDITOR_LN_DOT_STATS=0/1 overrides.
     """
     orig_dtype = x.dtype
     if orig_dtype == jnp.bfloat16 and _ln_dot_stats_enabled():

@@ -97,6 +97,48 @@ def test_layer_norm_matches_torch():
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_layer_norm_bf16_dot_stats_parity(monkeypatch):
+    """The bf16 dot-against-ones stats branch (the branch the TPU bench runs,
+    MOTIONEDITOR_LN_DOT_STATS) must match the exact fp32 reduce form within
+    bf16 output rounding."""
+    monkeypatch.setenv("MOTIONEDITOR_LN_DOT_STATS", "1")
+    p = L.init_layer_norm(128)
+    p = {"scale": p["scale"] * 1.3, "bias": p["bias"] + 0.2}
+    x = np.random.RandomState(0).randn(4, 7, 128).astype(np.float32)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    out = np.asarray(L.layer_norm(p, xb)).astype(np.float32)
+    monkeypatch.setenv("MOTIONEDITOR_LN_DOT_STATS", "0")
+    ref = np.asarray(L.layer_norm(p, xb)).astype(np.float32)
+    # both paths see the same bf16 input; outputs differ only by the stats
+    # formulation (bf16-rounded squares, rel err ~2^-9) + bf16 output rounding
+    np.testing.assert_allclose(out, ref, atol=0.04, rtol=0.02)
+
+
+def test_layer_norm_bf16_high_mean_stats(monkeypatch):
+    """One-pass E[x^2]-E[x]^2 variance in the dot-stats branch: pin the
+    documented bf16 error model (mirrors test_group_norm_high_mean_stats).
+
+    bf16 squares carry ~2^-9 relative error each; with fp32 accumulation
+    over C=128 random-sign roundings the variance error after cancellation
+    is ~(mean/std)^2 * 2^-9 / sqrt(C) relative — measured 1.1% normalized
+    output error at mean/std=5, 5.4% at 15 (this branch is bf16-only; LN
+    inputs in SD transformers are post-residual with |mean|/std < 5, and
+    the fp32 parity path keeps the exact reduce form)."""
+    monkeypatch.setenv("MOTIONEDITOR_LN_DOT_STATS", "1")
+    p = L.init_layer_norm(128)
+    rs = np.random.RandomState(1)
+    for mean_scale, atol in ((5.0, 0.04), (15.0, 0.25)):
+        x = (rs.randn(2, 9, 128) + mean_scale).astype(np.float32)
+        xb = jnp.asarray(x).astype(jnp.bfloat16)
+        out = np.asarray(L.layer_norm(p, xb)).astype(np.float32)
+        # fp64 centered oracle on the bf16-rounded input
+        xf = np.asarray(xb).astype(np.float64)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        ref = (xf - mu) / np.sqrt(var + 1e-5)
+        np.testing.assert_allclose(out, ref, atol=atol, rtol=0.08)
+
+
 def test_temporal_conv_zero_init_is_zero():
     p = L.init_temporal_conv(jax.random.PRNGKey(0), 8)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 3, 3, 8))
