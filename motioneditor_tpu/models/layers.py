@@ -120,6 +120,19 @@ def init_temporal_conv(key, channels: int, kernel_size: int = 3, zero_init: bool
     return {"kernel": kernel, "bias": bias}
 
 
+def _tc_matmul_enabled() -> bool:
+    """Default: TPU-only. The K-term matmul form is a TPU-layout optimization
+    (avoids relayout copies, see temporal_conv note); its frame-axis pads and
+    slices are expensive to SPMD-partition on other backends — round 4
+    shipped it unconditionally and the virtual-CPU-mesh multichip dryrun
+    (frame-sharded, ~70 temporal_conv sites per program) blew its compile
+    budget (MULTICHIP_r04 rc=124). MOTIONEDITOR_TC_MATMUL=0/1 overrides."""
+    env = os.environ.get("MOTIONEDITOR_TC_MATMUL")
+    if env is not None:
+        return env.strip().lower() not in ("0", "false", "no", "off", "")
+    return jax.default_backend() == "tpu"
+
+
 def temporal_conv(params, video, padding="SAME"):
     """[B, F, H, W, C] -> conv over F at each spatial site (resnet_2d.py:18-26).
 
@@ -128,15 +141,29 @@ def temporal_conv(params, video, padding="SAME"):
     relayouts the full activation twice per call (~16 ms/step of pure
     copies in the 24f trace; 72.88 ms/step/frame end-to-end). Two
     native-layout reformulations were measured:
-      - K shifted channel-matmuls (this form): out[f] =
+      - K shifted channel-matmuls (this form, TPU default): out[f] =
         sum_k (video @ W[k])[f + k - pad_lo]; frame shifts are pad/slice
         fusions. 72.40 ms/step/frame.
       - (K, 1)-window 2D conv over spatial dims (F, H*W): keeps conv
         layouts end-to-end, but the conv itself runs slower than the
         co-scheduled small-N dots. 72.53 ms/step/frame.
-    The matmul form wins and ships; note its dots pull the producing
-    conv's output to the default layout (~relayout copies at the conv
-    bias-add), which is already priced into the 72.40."""
+    The matmul form wins on TPU and ships there; off-TPU (CPU mesh tests,
+    the multichip dryrun) the single transpose->lax.conv NWC form is used
+    instead — layout copies are a TPU-only concern, and one conv op is far
+    cheaper to trace/partition than K einsum+pad terms (_tc_matmul_enabled).
+    Both forms are numerically identical (test_temporal_conv_forms_agree)."""
+    if not _tc_matmul_enabled():
+        b, f, h, w, c = video.shape
+        x = video.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+        y = jax.lax.conv_general_dilated(
+            x,
+            params["kernel"].astype(x.dtype),
+            window_strides=(1,),
+            padding=padding,
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        y = y + params["bias"].astype(x.dtype)
+        return y.reshape(b, h, w, y.shape[1], c).transpose(0, 3, 1, 2, 4)
     b, f, h, w, c = video.shape
     kernel = params["kernel"].astype(video.dtype)  # [K, C_in, C_out]
     ksz = kernel.shape[0]

@@ -165,6 +165,30 @@ def test_temporal_conv_matches_torch_conv1d():
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_temporal_conv_forms_agree(monkeypatch):
+    """The TPU matmul form and the off-TPU transpose->conv form are the same
+    operator: both must match the torch Conv1d oracle bit-for-tolerance."""
+    w = np.random.RandomState(3).randn(3, 4, 4).astype(np.float32) * 0.1
+    b = np.random.RandomState(4).randn(4).astype(np.float32) * 0.1
+    p = {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}
+    x = np.random.RandomState(5).randn(2, 6, 3, 3, 4).astype(np.float32)
+
+    tc = torch.nn.Conv1d(4, 4, 3, padding=1)
+    with torch.no_grad():
+        tc.weight.copy_(torch.from_numpy(w.transpose(2, 1, 0)))  # WIO -> OIW
+        tc.bias.copy_(torch.from_numpy(b))
+    xt = torch.from_numpy(x.transpose(0, 2, 3, 4, 1).reshape(18, 4, 6))
+    ref = tc(xt).detach().numpy().reshape(2, 3, 3, 4, 6).transpose(0, 4, 1, 2, 3)
+
+    monkeypatch.setenv("MOTIONEDITOR_TC_MATMUL", "1")
+    out_mm = np.asarray(L.temporal_conv(p, jnp.asarray(x)))
+    monkeypatch.setenv("MOTIONEDITOR_TC_MATMUL", "0")
+    out_cv = np.asarray(L.temporal_conv(p, jnp.asarray(x)))
+    np.testing.assert_allclose(out_mm, ref, atol=1e-5)
+    np.testing.assert_allclose(out_cv, ref, atol=1e-5)
+    np.testing.assert_allclose(out_mm, out_cv, atol=1e-5)
+
+
 def test_timestep_embedding_matches_diffusers_formula():
     t = jnp.asarray([0, 10, 999])
     emb = np.asarray(L.sinusoidal_timestep_embedding(t, 320))
