@@ -415,6 +415,66 @@ def upsample_nearest_2x(video):
     return x.reshape(b, f, h * 2, w * 2, c)
 
 
+def _upconv_fused_enabled() -> bool:
+    """Default: TPU-only, like _tc_matmul_enabled. The transposed-conv form
+    is a TPU flop/HBM optimization; off-TPU (CPU mesh tests, the multichip
+    dryrun) the two-op reference form keeps trace/partition cost minimal.
+    MOTIONEDITOR_UPCONV_FUSED=0/1 overrides."""
+    env = os.environ.get("MOTIONEDITOR_UPCONV_FUSED")
+    if env is not None:
+        return env.strip().lower() not in ("0", "false", "no", "off", "")
+    return jax.default_backend() == "tpu"
+
+
+def _boxfilter_kernel_4x4(w):
+    """[3,3,I,O] -> [4,4,I,O]: k4[u,v] = sum_{da,db in {0,1}} w[u-da, v-db]
+    (the 3x3 kernel convolved with ones(2,2))."""
+    pads = []
+    for da in (0, 1):
+        for db in (0, 1):
+            pads.append(jnp.pad(w, ((da, 1 - da), (db, 1 - db), (0, 0), (0, 0))))
+    return pads[0] + pads[1] + pads[2] + pads[3]
+
+
+def upsample_conv2d_2x(params, x):
+    """Fused nearest-2x upsample + SAME 3x3 conv: [N,H,W,C] -> [N,2H,2W,C'].
+
+    Because nearest-2x repeats each pixel in a 2x2 block, the pair
+    ``conv3x3(nearest2x(x))`` is EXACTLY a stride-2 transposed conv whose
+    4x4 kernel is the 3x3 kernel box-filtered with ones(2,2): output
+    m = 2i+p reads x[i+du] with weight k4[2 - (m - 2(i+du))] per axis.
+    Each output pixel then reduces over 2x2 input pixels instead of 3x3
+    duplicated ones — 4/9 the MXU flops — and the 4x-size upsampled
+    intermediate (a real HBM round-trip today: conv operands cannot have
+    fused producers) is never materialized. Exact-parity-tested against
+    the two-op form (tests/test_layers.py::test_upsample_conv_forms_agree).
+    Reference semantics: resnet_2d.py:60-85 Upsample3D (interpolate
+    scale=2 nearest + SAME conv3x3).
+    """
+    if not _upconv_fused_enabled():
+        n, h, w, c = x.shape
+        u = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (n, h, 2, w, 2, c)
+        ).reshape(n, 2 * h, 2 * w, c)
+        return conv2d(params, u, padding=1)
+    k4 = _boxfilter_kernel_4x4(params["kernel"]).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, k4, (1, 1), [(2, 2), (2, 2)], lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+def upsample_conv3d_2x(params, video):
+    """Per-frame fused upsample+conv on [B, F, H, W, C] (the UNet up-block
+    tail: resnet_2d.py:77 Upsample3D with scale_factor [1, 2, 2])."""
+    b, f, h, w, c = video.shape
+    y = upsample_conv2d_2x(params, video.reshape(b * f, h, w, c))
+    return y.reshape(b, f, *y.shape[1:])
+
+
 def nearest_resize(x, size: Tuple[int, int]):
     """Nearest-neighbor resize of [..., H, W, C] to match torch
     F.interpolate(mode="nearest") index selection (floor of scaled index)."""

@@ -53,7 +53,7 @@ from motioneditor_tpu.models.layers import (
     sinusoidal_timestep_embedding,
     temporal_conv,
     timestep_embedding_mlp,
-    upsample_nearest_2x,
+    upsample_conv3d_2x,
 )
 from motioneditor_tpu.ops.attention import (
     DENSE,
@@ -571,8 +571,7 @@ def unet_apply(
                 )
                 layer_idx += 1
         if "upsamplers" in block:
-            h = upsample_nearest_2x(h)
-            h = inflated_conv3d(block["upsamplers"][0], h, padding=1)
+            h = upsample_conv3d_2x(block["upsamplers"][0], h)
 
     # final GN is also across-frame 5D GroupNorm (unet_2d_condition.py:288/539)
     h = group_norm(params["conv_norm_out"], h, c.norm_num_groups, c.norm_eps)

@@ -28,6 +28,7 @@ from motioneditor_tpu.models.layers import (
     init_linear,
     linear,
     silu,
+    upsample_conv2d_2x,
 )
 
 SCALING_FACTOR = 0.18215
@@ -208,11 +209,7 @@ def vae_decode(params, latents, config: VAEConfig = VAEConfig()):
         for rp in block["resnets"]:
             x = _vae_resnet(rp, x, c.norm_num_groups, c.norm_eps)
         if "upsamplers" in block:
-            n, h, w, ch = x.shape
-            x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, ch)).reshape(
-                n, h * 2, w * 2, ch
-            )
-            x = conv2d(block["upsamplers"][0], x, padding=1)
+            x = upsample_conv2d_2x(block["upsamplers"][0], x)
     x = silu(group_norm(d["conv_norm_out"], x, c.norm_num_groups, c.norm_eps))
     return conv2d(d["conv_out"], x, padding=1)
 

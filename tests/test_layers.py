@@ -208,6 +208,65 @@ def test_upsample_nearest_2x():
     np.testing.assert_array_equal(out[0, 0, :2, :2, 0], x[0, 0, 0, 0, 0])
 
 
+def test_upsample_conv_forms_agree(monkeypatch):
+    """The fused transposed-conv form of nearest-2x + 3x3 conv must equal
+    the two-op reference form exactly (fp32; same conv op, reassociated
+    kernel sums only)."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, 5, 7, 6).astype(np.float32))
+    params = {
+        "kernel": jnp.asarray(rng.randn(3, 3, 6, 4).astype(np.float32) * 0.1),
+        "bias": jnp.asarray(rng.randn(4).astype(np.float32)),
+    }
+    monkeypatch.setenv("MOTIONEDITOR_UPCONV_FUSED", "0")
+    ref = np.asarray(L.upsample_conv2d_2x(params, x))
+    monkeypatch.setenv("MOTIONEDITOR_UPCONV_FUSED", "1")
+    fused = np.asarray(L.upsample_conv2d_2x(params, x))
+    assert ref.shape == fused.shape == (3, 10, 14, 4)
+    np.testing.assert_allclose(fused, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_upsample_conv_matches_torch():
+    """Fused form vs torch nearest-2x + SAME conv (the reference's
+    Upsample3D semantics, resnet_2d.py:60-85)."""
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 6, 5, 3).astype(np.float32)
+    w = rng.randn(3, 3, 3, 4).astype(np.float32) * 0.1
+    b = rng.randn(4).astype(np.float32)
+    params = {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}
+    out = np.asarray(L.upsample_conv2d_2x(params, jnp.asarray(x)))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ut = torch.nn.functional.interpolate(xt, scale_factor=2, mode="nearest")
+    wt = torch.from_numpy(w).permute(3, 2, 0, 1)
+    ref = torch.nn.functional.conv2d(ut, wt, torch.from_numpy(b), padding=1)
+    np.testing.assert_allclose(
+        out, ref.permute(0, 2, 3, 1).numpy(), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_upsample_conv_grad_forms_agree(monkeypatch):
+    """The fused form must differentiate identically (it sits in the
+    stage-1/2 training graphs through the UNet up path)."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 4, 4, 3).astype(np.float32))
+    params = {
+        "kernel": jnp.asarray(rng.randn(3, 3, 3, 3).astype(np.float32) * 0.1),
+        "bias": jnp.asarray(rng.randn(3).astype(np.float32)),
+    }
+
+    def loss(p, x):
+        return jnp.sum(L.upsample_conv2d_2x(p, x) ** 2)
+
+    monkeypatch.setenv("MOTIONEDITOR_UPCONV_FUSED", "0")
+    g_ref = jax.grad(loss)(params, x)
+    monkeypatch.setenv("MOTIONEDITOR_UPCONV_FUSED", "1")
+    g_fused = jax.grad(loss)(params, x)
+    for k in g_ref:
+        np.testing.assert_allclose(
+            np.asarray(g_fused[k]), np.asarray(g_ref[k]), atol=2e-4, rtol=1e-4
+        )
+
+
 def test_nearest_resize_matches_torch():
     x = np.random.RandomState(0).randn(1, 7, 9, 2).astype(np.float32)
     out = np.asarray(L.nearest_resize(jnp.asarray(x), (4, 4)))
