@@ -98,10 +98,10 @@ def main():
         )  # [b, h, 2, w, 2, o]
         return y.reshape(b, 2 * h, 2 * ww, o)
 
-    shapes = [  # (h, w, cin, cout) — the three UNet up sites at 512px
-        (16, 16, 1280, 1280),
-        (32, 32, 1280, 1280),
-        (64, 64, 640, 640),
+    shapes = [  # (h_in, w_in, cin, cout) — the three UNet up sites at 512px
+        (8, 8, 1280, 1280),    # up block 0: 8 -> 16
+        (16, 16, 1280, 1280),  # up block 1: 16 -> 32
+        (32, 32, 640, 640),    # up block 2: 32 -> 64
     ]
     rows = 4 * args.frames
     key = jax.random.PRNGKey(0)
